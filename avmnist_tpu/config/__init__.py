@@ -1,0 +1,6 @@
+from avmnist_tpu.config.schema import (  # noqa: F401
+    load_config,
+    save_config,
+    default_config,
+    update_hardware_config,
+)

@@ -1,0 +1,66 @@
+"""Synthetic AVMNIST generator (same on-disk artifact contract as the real data).
+
+The reference has no test suite and requires ~GBs of generated data; this module lets
+every layer above the data substrate run hermetically. Digits are rendered as crude
+class-dependent blob patterns so probes/classifiers have real (learnable) signal.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from avmnist_tpu.data.memmap import AVMNISTArrays, AUDIO_SHAPE, IMAGE_SHAPE, avmnist_paths
+
+
+def _class_pattern(rng: np.random.Generator, labels: np.ndarray, shape, n_classes=10):
+    """Per-class template + per-sample noise, scaled into uint8 range."""
+    templates = rng.uniform(0.0, 1.0, size=(n_classes, *shape)).astype(np.float32)
+    # Smooth templates a little so conv encoders can pick up structure.
+    for ax in (1, 2):
+        templates = 0.5 * templates + 0.25 * (
+            np.roll(templates, 1, axis=ax) + np.roll(templates, -1, axis=ax)
+        )
+    x = templates[labels]
+    x = x + rng.normal(0.0, 0.15, size=x.shape).astype(np.float32)
+    return np.clip(x * 255.0, 0, 255)
+
+
+def make_synthetic_avmnist(
+    data_dir: Optional[str] = None,
+    n_train: int = 256,
+    n_test: int = 64,
+    scheme: str = "burst_noise",
+    seed: int = 0,
+):
+    """Create synthetic train+test splits.
+
+    If ``data_dir`` is given, writes files in the exact reference layout
+    (standard .npy images/labels, raw headerless uint8 memmap audio) and returns the
+    dir; otherwise returns in-memory AVMNISTArrays pairs (train, test).
+    """
+    rng = np.random.default_rng(seed)
+    splits = {}
+    for split, n in (("train", n_train), ("test", n_test)):
+        labels = rng.integers(0, 10, size=n).astype(np.int64)
+        image = _class_pattern(rng, labels, IMAGE_SHAPE).astype(np.float64)
+        audio = _class_pattern(rng, labels, AUDIO_SHAPE).astype(np.uint8)
+        splits[split] = (image, audio, labels)
+
+    if data_dir is None:
+        return (
+            AVMNISTArrays(*splits["train"]),
+            AVMNISTArrays(*splits["test"]),
+        )
+
+    os.makedirs(os.path.join(data_dir, "image"), exist_ok=True)
+    os.makedirs(os.path.join(data_dir, "audio"), exist_ok=True)
+    for split, (image, audio, labels) in splits.items():
+        paths = avmnist_paths(data_dir, split, scheme)
+        np.save(paths["labels"], labels)
+        np.save(paths["image"], image)
+        mm = np.memmap(paths["audio"], mode="w+", dtype=np.uint8, shape=audio.shape)
+        mm[:] = audio
+        mm.flush()
+    return data_dir

@@ -1,0 +1,8 @@
+from avmnist_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    DATA_AXIS,
+    MODEL_AXIS,
+)

@@ -1,0 +1,45 @@
+"""Test harness: force an 8-virtual-device CPU backend before JAX initializes.
+
+This is JAX's standard fake-backend trick (SURVEY.md §4): every shard_map/pjit/psum
+path in the framework is exercised on 8 "devices" on one host, so the multi-chip
+sharding story is CI-testable without a TPU.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override any TPU platform from the environment
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Some environments pre-import jax via sitecustomize before this file runs; the config
+# update below still wins as long as no backend has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_arrays():
+    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
+
+    return make_synthetic_avmnist(n_train=256, n_test=64, seed=0)
+
+
+@pytest.fixture(scope="session")
+def synthetic_dir(tmp_path_factory):
+    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
+
+    d = tmp_path_factory.mktemp("avmnist")
+    return make_synthetic_avmnist(str(d), n_train=256, n_test=64, seed=0)
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    import jax
+    from avmnist_tpu.parallel import create_mesh
+
+    assert len(jax.devices()) == 8, "conftest failed to fake 8 devices"
+    return create_mesh()
