@@ -1,0 +1,124 @@
+"""ViT encoders (reference models/dino_vit.py:11-177), rebuilt TPU-first.
+
+Differences from a naive translation:
+- attention is a fused einsum over (B, heads, T, head_dim) — T is at most 197 tokens
+  ((112/8)^2+1, dino_vit.py:28-32), so full softmax attention maps straight onto the
+  MXU; no sequence parallelism is needed (SURVEY.md §5).
+- post-LN torch ``nn.TransformerEncoderLayer`` semantics are preserved exactly
+  (residual -> LayerNorm ordering, GELU MLP, dropout placement), since DINO training
+  dynamics are sensitive to norm placement.
+- CLS token and positional embeddings are zero-initialized, matching the reference
+  quirk (dino_vit.py:87-91 uses torch.zeros, never randn).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from avmnist_tpu.models.layers import Conv, Dense
+
+
+class PatchEmbedding(nn.Module):
+    """Conv-as-patchify (dino_vit.py:11-41; same module serves image and audio)."""
+
+    patch_size: int = 4
+    embed_dim: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C) -> (B, T, D)
+        p = self.patch_size
+        x = Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID")(x)
+        b, h, w, d = x.shape
+        return x.reshape(b, h * w, d)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention (torch MultiheadAttention equivalent)."""
+
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        b, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = Dense(3 * d)(x).reshape(b, t, 3, h, hd)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, T, H, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        attn = nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        return Dense(d)(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN layer matching torch nn.TransformerEncoderLayer(activation='gelu')."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        d = x.shape[-1]
+        a = SelfAttention(self.num_heads, self.dropout)(x, train=train)
+        a = nn.Dropout(self.dropout, deterministic=not train)(a)
+        x = nn.LayerNorm()(x + a)
+        f = Dense(int(d * self.mlp_ratio))(x)
+        f = nn.gelu(f)
+        f = nn.Dropout(self.dropout, deterministic=not train)(f)
+        f = Dense(d)(f)
+        f = nn.Dropout(self.dropout, deterministic=not train)(f)
+        return nn.LayerNorm()(x + f)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack + final LayerNorm (dino_vit.py:43-63)."""
+
+    depth: int = 4
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for _ in range(self.depth):
+            x = TransformerEncoderLayer(self.num_heads, self.mlp_ratio, self.dropout)(
+                x, train=train
+            )
+        return nn.LayerNorm()(x)
+
+
+class ViTEncoder(nn.Module):
+    """CLS-token ViT (dino_vit.py:65-177; ViTEncoder and AudioViTEncoder share this —
+    they are structurally identical, differing only in default patch size)."""
+
+    patch_size: int = 4
+    embed_dim: int = 192
+    depth: int = 4
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        b = x.shape[0]
+        x = PatchEmbedding(self.patch_size, self.embed_dim)(x)  # (B, T, D)
+        t = x.shape[1]
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
+        pos = self.param("pos_embed", nn.initializers.zeros, (1, t + 1, self.embed_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)), x], axis=1)
+        x = x + pos
+        x = TransformerEncoder(self.depth, self.num_heads, self.mlp_ratio, self.dropout)(
+            x, train=train
+        )
+        return x[:, 0]
+
+
+def AudioViTEncoder(patch_size: int = 8, embed_dim: int = 192, depth: int = 4,
+                    num_heads: int = 3, mlp_ratio: float = 4.0, dropout: float = 0.1):
+    """Audio variant (dino_vit.py:122-177): identical architecture, patch 8 on 112x112."""
+    return ViTEncoder(patch_size=patch_size, embed_dim=embed_dim, depth=depth,
+                      num_heads=num_heads, mlp_ratio=mlp_ratio, dropout=dropout)
