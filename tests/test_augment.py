@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avmnist_tpu.augment import MultiCropAugment, SimCLRAugment, make_views
+from avmnist_tpu.augment import functional as F
+from avmnist_tpu.augment.multicrop import apply_chain, chain_from_config, op
+
+
+def rand_img(h=16, w=16, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).uniform(size=(h, w)), jnp.float32)
+
+
+def test_affine_identity():
+    img = rand_img()
+    out = F.affine_bilinear(img, F.IDENTITY)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_affine_integer_translation_zero_fill():
+    img = rand_img()
+    # inverse map: in_x = out_x + 3  -> shifts content left by 3, zero fill on right
+    m = jnp.asarray(F._mat(1.0, 1.0, 3.0, 0.0))
+    out = np.asarray(F.affine_bilinear(img, m))
+    np.testing.assert_allclose(out[:, :13], np.asarray(img)[:, 3:], atol=1e-6)
+    np.testing.assert_allclose(out[:, 13:], 0.0, atol=1e-6)
+
+
+def test_time_warp_is_linear_interp():
+    img = rand_img()
+    m = F._mat(2.0, 1.0, 0.0, 0.0)  # rate 2: out col t samples in col 2t
+    out = np.asarray(F.affine_bilinear(img, m))
+    ref = np.asarray(img)[:, ::2]
+    np.testing.assert_allclose(out[:, :8], ref, atol=1e-5)
+    np.testing.assert_allclose(out[:, 9:], 0.0, atol=1e-6)  # past stretched end
+
+
+def test_axis_mask_zeroes_band():
+    img = jnp.ones((112, 112))
+    out = np.asarray(F.axis_mask(img, jax.random.key(0), 25.0, 0))
+    rows = out.mean(axis=1)
+    n_zero = int((rows == 0).sum())
+    assert 0 <= n_zero <= 25
+    assert np.all((rows == 0) | (rows == 1))
+    out_t = np.asarray(F.axis_mask(img, jax.random.key(1), 25.0, 1))
+    cols = out_t.mean(axis=0)
+    assert np.all((cols == 0) | (cols == 1))
+
+
+def test_grouped_masking_exact_count():
+    img = jnp.ones((112, 112))
+    out = np.asarray(F.grouped_masking(img, jax.random.key(0), mask_ratio=0.6))
+    groups = out.reshape(28, 4, 28, 4).mean(axis=(1, 3))
+    n_masked = int((groups == 0).sum())
+    assert n_masked == int(0.6 * 28 * 28)
+
+
+def test_grouped_mask_batch():
+    keep = np.asarray(F.grouped_mask_batch(jax.random.key(0), (4, 112, 112), 0.75))
+    assert keep.shape == (4, 112, 112)
+    per = keep.reshape(4, 28, 4, 28, 4).mean(axis=(2, 4))
+    for b in range(4):
+        assert int((per[b] == 0).sum()) == int(0.75 * 784)
+    # masks differ across the batch
+    assert not np.array_equal(keep[0], keep[1])
+
+
+def test_random_erasing_applies_box():
+    img = jnp.ones((28, 28))
+    out = np.asarray(F.random_erasing(img, jax.random.key(0), p=1.0, scale=(0.1, 0.1), ratio=(1.0, 1.0)))
+    n_zero = (out == 0).sum()
+    assert n_zero > 0  # a box got erased
+    # p=0 never erases
+    out0 = np.asarray(F.random_erasing(img, jax.random.key(0), p=0.0, scale=(0.1, 0.1)))
+    assert (out0 == 1).all()
+
+
+def test_gaussian_blur_preserves_mean():
+    img = rand_img(28, 28)
+    out = F.gaussian_blur3(img, jax.random.key(0))
+    assert abs(float(out.mean()) - float(img.mean())) < 0.01
+
+
+def test_elastic_transform_mild():
+    img = rand_img(28, 28)
+    out = F.elastic_transform(img, jax.random.key(0), alpha=20.0, sigma=3.0)
+    assert out.shape == img.shape
+    assert float(jnp.abs(out - img).mean()) < 0.2
+
+
+def test_make_views_shapes_and_determinism():
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(4, 28, 28)), jnp.float32)
+    audios = jnp.asarray(rng.uniform(size=(4, 112, 112)), jnp.float32)
+    fn = jax.jit(lambda i, a, k: make_views(i, a, k, 2, 4))
+    gi, ga, li, la = fn(images, audios, jax.random.key(7))
+    assert gi.shape == (4, 2, 28, 28, 1)
+    assert ga.shape == (4, 2, 112, 112, 1)
+    assert li.shape == (4, 4, 28, 28, 1)
+    assert la.shape == (4, 4, 112, 112, 1)
+    gi2, *_ = fn(images, audios, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(gi2))
+    gi3, *_ = fn(images, audios, jax.random.key(8))
+    assert not np.array_equal(np.asarray(gi), np.asarray(gi3))
+    # views differ from each other
+    assert not np.array_equal(np.asarray(gi[:, 0]), np.asarray(gi[:, 1]))
+
+
+def test_chain_from_config_reference_format():
+    best = {
+        "global_views": {
+            "frequency_mask": {"freq_mask_param": 5, "p": 0.4},
+            "time_warp": {"min_factor": 0.9, "max_factor": 1.1, "p": 0.37},
+            "random_resized_crop": {"size": [112, 112], "scale": [0.7, 1.0], "p": 0.9},
+        },
+        "local_views": {
+            "grouped_masking": {"mask_ratio": 0.648, "p": 0.97},
+            "gaussian_noise": {"p": 0.84, "std": 0.18},
+        },
+    }
+    aug = MultiCropAugment.from_config(2, 4, {"augmentations": best})
+    assert len(aug.audio_global) == 3
+    assert aug.audio_global[0].kind == "frequency_mask"
+    assert aug.audio_local[1].kind == "gaussian_noise"
+    audios = jnp.ones((2, 112, 112))
+    images = jnp.ones((2, 28, 28))
+    out = aug(images, audios, jax.random.key(0))
+    assert out[1].shape == (2, 2, 112, 112, 1)
+    assert "MultiCropAugment" in aug.describe()
+
+
+def test_simclr_augment():
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(4, 28, 28)), jnp.float32)
+    audios = jnp.asarray(rng.uniform(size=(4, 112, 112)), jnp.float32)
+    i1, a1, i2, a2 = jax.jit(lambda i, a, k: SimCLRAugment()(i, a, k))(
+        images, audios, jax.random.key(0)
+    )
+    assert i1.shape == i2.shape == (4, 28, 28, 1)
+    assert a1.shape == a2.shape == (4, 112, 112, 1)
+    assert not np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_geometric_composition_single_gather():
+    # A chain of two geometric ops equals applying the composed matrix once.
+    img = rand_img(28, 28)
+    chain = [op("random_rotation", degrees=0.0), op("random_affine", translate=(0.0, 0.0))]
+    out = apply_chain(chain, img, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
