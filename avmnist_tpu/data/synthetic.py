@@ -14,14 +14,18 @@ import numpy as np
 from avmnist_tpu.data.memmap import AVMNISTArrays, AUDIO_SHAPE, IMAGE_SHAPE, avmnist_paths
 
 
-def _class_pattern(rng: np.random.Generator, labels: np.ndarray, shape, n_classes=10):
-    """Per-class template + per-sample noise, scaled into uint8 range."""
+def _make_templates(rng: np.random.Generator, shape, n_classes=10):
     templates = rng.uniform(0.0, 1.0, size=(n_classes, *shape)).astype(np.float32)
     # Smooth templates a little so conv encoders can pick up structure.
     for ax in (1, 2):
         templates = 0.5 * templates + 0.25 * (
             np.roll(templates, 1, axis=ax) + np.roll(templates, -1, axis=ax)
         )
+    return templates
+
+
+def _class_pattern(rng: np.random.Generator, labels: np.ndarray, templates):
+    """Shared per-class template + per-sample noise, scaled into uint8 range."""
     x = templates[labels]
     x = x + rng.normal(0.0, 0.15, size=x.shape).astype(np.float32)
     return np.clip(x * 255.0, 0, 255)
@@ -41,11 +45,13 @@ def make_synthetic_avmnist(
     dir; otherwise returns in-memory AVMNISTArrays pairs (train, test).
     """
     rng = np.random.default_rng(seed)
+    img_templates = _make_templates(rng, IMAGE_SHAPE)
+    aud_templates = _make_templates(rng, AUDIO_SHAPE)
     splits = {}
     for split, n in (("train", n_train), ("test", n_test)):
         labels = rng.integers(0, 10, size=n).astype(np.int64)
-        image = _class_pattern(rng, labels, IMAGE_SHAPE).astype(np.float64)
-        audio = _class_pattern(rng, labels, AUDIO_SHAPE).astype(np.uint8)
+        image = _class_pattern(rng, labels, img_templates).astype(np.float64)
+        audio = _class_pattern(rng, labels, aud_templates).astype(np.uint8)
         splits[split] = (image, audio, labels)
 
     if data_dir is None:

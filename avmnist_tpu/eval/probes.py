@@ -1,0 +1,148 @@
+"""Frozen-feature probes: linear (MLP) probe + kNN.
+
+Reference behavior being matched:
+- ``DownstreamClassifier`` (dino.py:1764-1814): frozen deep-copied student encoder +
+  Linear(out_dim->128)->ReLU->Linear(128->10); trained with AdamW + cosine
+  (train_downstream, dino_train.py:188-329; the per-epoch probe trains 1 epoch,
+  dino.py:878-951).
+- ``train_knn_classifier`` (dino_train.py:331-368): sklearn KNeighborsClassifier(n=5)
+  on frozen features.
+
+TPU-native design: features are extracted ONCE per probe (the encoder is frozen, so
+re-running it per probe batch — as the reference does — is pure waste); the probe MLP
+trains as a jitted ``lax.scan`` over shuffled minibatches of cached features, and kNN
+is a brute-force distance matrix + top-k on device (55k x 10k x 256 is tiny for the MXU).
+Features are extracted in eval mode (running BN stats) — a documented simplification
+of the reference's train-mode probe encoder (SURVEY.md §7 hard-part 4).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avmnist_tpu.models.layers import MLPHead
+from avmnist_tpu.train.optim import torch_adamw
+
+
+def extract_features(feature_fn: Callable, batches: Iterable[Dict]) -> Tuple[np.ndarray, np.ndarray]:
+    """Run a jitted feature_fn(batch) -> (B, D) over a split; returns (features, labels)."""
+    feats, labels = [], []
+    for batch in batches:
+        valid = int(batch.get("valid", len(batch["label"])))
+        f = np.asarray(jax.device_get(feature_fn(batch)))[:valid]
+        feats.append(f)
+        labels.append(np.asarray(batch["label"])[:valid])
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def train_linear_probe(
+    train_feats: np.ndarray,
+    train_labels: np.ndarray,
+    val_feats: np.ndarray,
+    val_labels: np.ndarray,
+    num_classes: int = 10,
+    epochs: int = 1,
+    batch_size: int = 128,
+    learning_rate: float = 1e-4,
+    seed: int = 0,
+    hidden_dim: int = 128,
+) -> Dict:
+    """MLP probe on cached features. Returns accuracy (%) + preds/probs."""
+    d = train_feats.shape[1]
+    model = MLPHead(hidden_dim=hidden_dim, num_classes=num_classes)
+    rng = jax.random.key(seed)
+    params = model.init(rng, jnp.zeros((1, d)))["params"]
+    n = len(train_feats)
+    steps_per_epoch = max(n // batch_size, 1)
+    schedule = optax.cosine_decay_schedule(learning_rate, max(epochs, 1))
+    # torch CosineAnnealingLR(T_max=epochs) stepped per epoch
+    tx = torch_adamw(lambda step: schedule(step // steps_per_epoch), weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    xf = jnp.asarray(train_feats)
+    yf = jnp.asarray(train_labels)
+
+    @jax.jit
+    def train_epoch(params, opt_state, perm):
+        def body(carry, idx):
+            params, opt_state = carry
+            xb, yb = xf[idx], yf[idx]
+
+            def loss_fn(p):
+                logits = model.apply({"params": p}, xb)
+                return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        idxs = perm[: steps_per_epoch * batch_size].reshape(steps_per_epoch, batch_size)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), idxs)
+        return params, opt_state, losses.mean()
+
+    probe_rng = np.random.default_rng(seed)
+    train_loss = np.nan
+    for _ in range(epochs):
+        perm = jnp.asarray(probe_rng.permutation(n))
+        params, opt_state, train_loss = train_epoch(params, opt_state, perm)
+
+    @jax.jit
+    def predict(params, x):
+        return model.apply({"params": params}, x)
+
+    logits = np.asarray(jax.device_get(predict(params, jnp.asarray(val_feats))))
+    preds = logits.argmax(-1)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    acc = 100.0 * float((preds == val_labels).mean())
+    return {
+        "accuracy": acc,
+        "preds": preds,
+        "probs": probs,
+        "labels": val_labels,
+        "train_loss": float(jax.device_get(train_loss)),
+        "params": params,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_classes"))
+def _knn_predict(train_f, train_y, test_f, k: int, num_classes: int):
+    # Euclidean brute force: the Gram term rides the MXU.
+    d2 = (
+        jnp.sum(test_f**2, 1, keepdims=True)
+        - 2.0 * test_f @ train_f.T
+        + jnp.sum(train_f**2, 1)[None, :]
+    )
+    _, idx = jax.lax.top_k(-d2, k)
+    votes = jax.nn.one_hot(train_y[idx], num_classes).sum(axis=1)
+    # sklearn tie-break: np.argmax picks the smallest label among ties — jnp.argmax too.
+    return jnp.argmax(votes, axis=-1)
+
+
+def knn_probe(
+    train_feats: np.ndarray,
+    train_labels: np.ndarray,
+    test_feats: np.ndarray,
+    test_labels: np.ndarray,
+    k: int = 5,
+    num_classes: int = 10,
+    block: int = 4096,
+) -> Dict:
+    """k-NN accuracy (%) on frozen features (reference: KNeighborsClassifier(n=5),
+    dino_train.py:349-368). Blocked over test rows to bound the distance matrix."""
+    train_f = jnp.asarray(train_feats)
+    train_y = jnp.asarray(train_labels)
+    preds = []
+    for start in range(0, len(test_feats), block):
+        tf = jnp.asarray(test_feats[start : start + block])
+        preds.append(np.asarray(jax.device_get(
+            _knn_predict(train_f, train_y, tf, k, num_classes))))
+    preds = np.concatenate(preds)
+    acc = 100.0 * float((preds == test_labels).mean())
+    return {"accuracy": acc, "preds": preds, "labels": test_labels}

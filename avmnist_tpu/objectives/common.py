@@ -1,0 +1,58 @@
+"""Shared objective plumbing: normalization, mixed precision, the Objective bundle."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def normalize_images(image: jnp.ndarray) -> jnp.ndarray:
+    """(B, 28, 28) raw 0..255 -> (B, 28, 28, 1) float /255 (get_data.py:464-465)."""
+    x = image.astype(jnp.float32) / 255.0
+    return x[..., None] if x.ndim == 3 else x
+
+
+def normalize_audio(audio: jnp.ndarray, mean: float = 0.0, std: float = 1.0) -> jnp.ndarray:
+    """uint8 (B, 112, 112) -> float (B, 112, 112, 1); (x/255 - mean)/std with
+    defaults 0/1 (get_data.py:439-442, 466-467)."""
+    x = audio.astype(jnp.float32) / 255.0
+    x = (x - mean) / std
+    return x[..., None] if x.ndim == 3 else x
+
+
+def cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean CE over (optionally padded) batch — torch nn.CrossEntropyLoss semantics."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits.astype(jnp.float32), labels)
+    if valid is None:
+        return ce.mean()
+    b = logits.shape[0]
+    mask = jnp.arange(b) < valid
+    return (ce * mask).sum() / jnp.maximum(valid, 1)
+
+
+@dataclasses.dataclass
+class Objective:
+    """A training workload: jitted pure step functions + metadata.
+
+    ``init_fn(rng) -> TrainState`` (host-called once, then replicated over the mesh);
+    ``step_fn(state, batch, rng) -> (state, metrics)`` — the fused train step;
+    ``eval_fn(state, batch) -> metrics/outputs`` (optional);
+    ``feature_fn(state, batch) -> features`` frozen-encoder features for probes.
+    """
+
+    name: str
+    init_fn: Callable
+    step_fn: Callable
+    eval_fn: Optional[Callable] = None
+    feature_fn: Optional[Callable] = None
+    meta: Dict[str, Any] = dataclasses.field(default_factory=dict)

@@ -1,0 +1,338 @@
+"""DINO SSL objective (multimodal + unimodal) with the three hybrid modes.
+
+Reference: models/dino.py — MultiModalDINO (:588-727), MultiModalDINOLightning loss
+(:822-854), UniModalDINO (:1257-1398), UniModalDINOLightning (:1492-1759), hybrids
+MultiModalDINOWithMSE/INFONCE/SemiSupervised (:964-1238).
+
+TPU-native restructuring (NOT a translation):
+- the Python loop over views (dino.py:679-706) is folded into the batch axis: ONE
+  student forward over [(Ng+Nl)*B] and one teacher forward over [Ng*B];
+- augmentation (multi-crop view bank) runs inside the same jitted step — batch in,
+  loss out, zero host round-trips;
+- the EMA teacher is a second param pytree updated with a fused tree_map;
+- the center update is a GLOBAL batch mean: under a sharded batch XLA lowers it to a
+  psum over ICI, fixing the reference's per-replica center drift (SURVEY.md §2e)
+  while being bit-identical on one chip;
+- the InfoNCE hybrid's similarity matrix is computed on the global batch, i.e.
+  all-gathered negatives over ICI for free.
+
+Reference-faithful quirks preserved (config switches in config.schema):
+L2-normalize before softmax (dino.py:831-832); no same-view-pair exclusion (:843-847);
+unimodal double centering (buffer in forward :1388 + batch re-center in loss :1613);
+teacher EMA from PRE-optimizer-step student params (:871 runs before Lightning's
+optimizer step).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from avmnist_tpu.augment.multicrop import MultiCropAugment
+from avmnist_tpu.models.layers import ProjectionHead
+from avmnist_tpu.models.registry import build_encoder, is_unimodal
+from avmnist_tpu.objectives.common import (
+    Objective,
+    cast_tree,
+    cross_entropy,
+    normalize_audio,
+    normalize_images,
+)
+from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
+from avmnist_tpu.train.state import TrainState
+
+
+class DINONet(nn.Module):
+    """Encoder + DINO projection head (+ per-modality hybrid heads).
+
+    The teacher is a second DINONet with mode='default' — same encoder/projection
+    structure; hybrid heads belong to the student only (reference update_teacher
+    EMAs only encoder+projection, dino.py:635-646)."""
+
+    encoder: nn.Module
+    projection_dim: int = 128
+    dropout: float = 0.3
+    unimodal: bool = False
+    mode: str = "default"  # default | semi_supervised | mse | infonce
+    num_classes: int = 10
+    encoder_output_dim: int = 512
+
+    def setup(self):
+        self.projection = ProjectionHead(self.projection_dim, dropout_rate=self.dropout)
+        if self.mode in ("mse", "infonce"):
+            self.image_head = ProjectionHead(self.projection_dim)
+            self.audio_head = ProjectionHead(self.projection_dim)
+        elif self.mode == "semi_supervised":
+            self.image_head = ProjectionHead(self.num_classes)
+            self.audio_head = ProjectionHead(self.num_classes)
+
+    def encode(self, images, spectrograms, train: bool = True):
+        if self.unimodal:
+            return self.encoder(images=images, spectrograms=spectrograms, train=train)
+        return self.encoder(images, spectrograms, train=train)
+
+    def __call__(self, images, spectrograms, train: bool = True):
+        f = self.encode(images, spectrograms, train=train)
+        return self.projection(f, train=train), f
+
+    def modality_projections(self, images, spectrograms, train: bool = True):
+        """Hybrid taps on the UN-augmented pair (dino.py:1065-1066, 977-978)."""
+        f_i = self.encoder.encode_image(images, train=train)
+        f_a = self.encoder.encode_audio(spectrograms, train=train)
+        return self.image_head(f_i, train=train), self.audio_head(f_a, train=train)
+
+    def init_all(self, images, spectrograms, train: bool = False):
+        """Init helper: touches every submodule so flax materializes all params."""
+        out = self(images, spectrograms, train=train)
+        if self.mode != "default":
+            self.modality_projections(images, spectrograms, train=train)
+        return out
+
+
+def dino_loss_fn(student_out, teacher_out, student_temp, teacher_temp,
+                 l2_normalize=True, unimodal_recenter=False):
+    """Cross-entropy over ALL (student view x teacher view) pairs.
+
+    student_out [Ns, B, P]; teacher_out [Nt, B, P] (already buffer-centered).
+    Faithful to dino.py:822-854 (multimodal) / :1596-1635 (unimodal re-centering)."""
+    if l2_normalize:
+        student_out = student_out / (jnp.linalg.norm(student_out, axis=-1, keepdims=True) + 1e-12)
+        teacher_out = teacher_out / (jnp.linalg.norm(teacher_out, axis=-1, keepdims=True) + 1e-12)
+    if unimodal_recenter:
+        teacher_out = teacher_out - jnp.mean(teacher_out, axis=1, keepdims=True)
+    t_probs = jax.nn.softmax(teacher_out / teacher_temp, axis=-1)       # [Nt,B,P]
+    s_logp = jax.nn.log_softmax(student_out / student_temp, axis=-1)    # [Ns,B,P]
+    b = student_out.shape[1]
+    cross = -jnp.einsum("tbp,sbp->ts", t_probs, s_logp) / b             # [Nt,Ns]
+    return cross.mean(), t_probs
+
+
+def cosine_consistency_loss(embeddings):
+    """(1 - cos)^2 over all student-view pairs (UniModalDINOLightning:1575-1594)."""
+    e = embeddings / (jnp.linalg.norm(embeddings, axis=-1, keepdims=True) + 1e-12)
+    n = e.shape[0]
+    sims = jnp.einsum("ibd,jbd->ijb", e, e)
+    iu, ju = jnp.triu_indices(n, k=1)
+    return jnp.mean((1.0 - sims[iu, ju]) ** 2)
+
+
+def infonce_loss_fn(image_out, audio_out, temperature=0.07):
+    """Symmetric cross-modal InfoNCE (dino.py:1091-1128). With a sharded batch the
+    B x B similarity is global — all-gathered negatives over ICI."""
+    i = image_out / (jnp.linalg.norm(image_out, axis=-1, keepdims=True) + 1e-12)
+    a = audio_out / (jnp.linalg.norm(audio_out, axis=-1, keepdims=True) + 1e-12)
+    sim = (i @ a.T) / temperature
+    labels = jnp.arange(sim.shape[0])
+    l_i2a = optax.softmax_cross_entropy_with_integer_labels(sim, labels).mean()
+    l_a2i = optax.softmax_cross_entropy_with_integer_labels(sim.T, labels).mean()
+    return 0.5 * (l_i2a + l_a2i)
+
+
+def mse_align_loss_fn(image_out, audio_out):
+    """Normalized-feature MSE (dino.py:1193-1211)."""
+    i = image_out / (jnp.linalg.norm(image_out, axis=-1, keepdims=True) + 1e-12)
+    a = audio_out / (jnp.linalg.norm(audio_out, axis=-1, keepdims=True) + 1e-12)
+    return jnp.mean((i - a) ** 2)
+
+
+@dataclasses.dataclass
+class DinoConfig:
+    model_name: str = "multi_central"
+    mode: str = "default"
+    projection_dim: int = 128
+    output_dim: int = 256
+    encoder_output_dim: int = 256
+    momentum: float = 0.996
+    center_momentum: float = 0.9
+    student_temperature: float = 0.1
+    teacher_temperature: float = 0.04
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-6
+    dropout: float = 0.3
+    num_epochs: int = 100
+    steps_per_epoch: Optional[int] = None
+    n_global_views: int = 2
+    n_local_views: int = 4
+    best_augments: Optional[Dict] = None
+    alpha: float = 1.0                 # hybrid loss weight
+    cosine_loss_alpha: float = 0.0     # unimodal only
+    num_classes: int = 10
+    audio_mean: float = 0.0
+    audio_std: float = 1.0
+    use_center: bool = True            # False = UniModalDINOV2 (dino.py:1400-1489)
+    compute_dtype: Any = jnp.bfloat16
+    # reference-faithful switches (SURVEY.md §7 hard-part 5)
+    l2_normalize_before_softmax: bool = True
+    unimodal_double_centering: bool = True
+    teacher_ema_before_optimizer: bool = True
+
+
+def make_dino_objective(cfg: DinoConfig) -> Objective:
+    unimodal = is_unimodal(cfg.model_name)
+    if unimodal and cfg.mode != "default":
+        raise ValueError("hybrid modes are multimodal-only (run_dino.py:585-593)")
+    encoder = build_encoder(cfg.model_name, output_dim=cfg.output_dim,
+                            **({} if unimodal else
+                               {"encoder_output_dim": cfg.encoder_output_dim}))
+    student = DINONet(encoder=encoder, projection_dim=cfg.projection_dim,
+                      dropout=cfg.dropout, unimodal=unimodal, mode=cfg.mode,
+                      num_classes=cfg.num_classes,
+                      encoder_output_dim=cfg.encoder_output_dim)
+    # teacher: same structure, no hybrid heads, no dropout in projection (the module is
+    # shared; dropout is inert because the teacher pass uses its own rng & train flag).
+    teacher = DINONet(encoder=encoder, projection_dim=cfg.projection_dim,
+                      dropout=0.0, unimodal=unimodal, mode="default",
+                      num_classes=cfg.num_classes,
+                      encoder_output_dim=cfg.encoder_output_dim)
+
+    augment = MultiCropAugment.from_config(cfg.n_global_views, cfg.n_local_views,
+                                           cfg.best_augments)
+    lr = (cosine_epoch_schedule(cfg.learning_rate, cfg.num_epochs, cfg.steps_per_epoch)
+          if cfg.steps_per_epoch else cfg.learning_rate)
+    tx = torch_adam(lr, weight_decay=cfg.weight_decay)
+
+    img0 = jnp.zeros((2, 28, 28, 1))
+    aud0 = jnp.zeros((2, 112, 112, 1))
+
+    def init_fn(rng) -> TrainState:
+        k1, k2 = jax.random.split(rng)
+        sv = student.init({"params": k1, "dropout": k2}, img0, aud0, train=False,
+                          method="init_all")
+        params, stats = sv["params"], sv.get("batch_stats", {})
+        # teacher starts as an exact copy of the student (dino.py:617, 627)
+        t_params = {k: params[k] for k in ("encoder", "projection")}
+        t_stats = {k: stats[k] for k in stats if k in ("encoder", "projection")}
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=stats,
+            opt_state=tx.init(params),
+            teacher_params=jax.tree.map(jnp.copy, t_params),
+            teacher_batch_stats=jax.tree.map(jnp.copy, t_stats),
+            center=jnp.zeros((1, cfg.projection_dim), jnp.float32),
+        )
+
+    ng, nl = cfg.n_global_views, cfg.n_local_views
+
+    def fold(views):  # (B, n, H, W, 1) -> (n*B, H, W, 1), view-major like torch.cat
+        b, n = views.shape[:2]
+        return views.swapaxes(0, 1).reshape(n * b, *views.shape[2:])
+
+    def apply_net(net, params, stats, images, audios, rng, train, method=None):
+        variables = {"params": cast_tree(params, cfg.compute_dtype),
+                     "batch_stats": cast_tree(stats, cfg.compute_dtype)}
+        args = (images.astype(cfg.compute_dtype), audios.astype(cfg.compute_dtype))
+        out, upd = net.apply(variables, *args, train=train,
+                             rngs={"dropout": rng}, mutable=["batch_stats"],
+                             method=method)
+        return (jax.tree.map(lambda x: x.astype(jnp.float32), out),
+                cast_tree(upd["batch_stats"], jnp.float32))
+
+    @jax.jit
+    def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        k_aug, k_s, k_t, k_h = jax.random.split(rng, 4)
+        images = normalize_images(batch["image"])
+        audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
+        gi, ga, li, la = augment(images[..., 0], audios[..., 0], k_aug)
+        b = images.shape[0]
+
+        # Student sees global + local; teacher global only — one forward each.
+        s_imgs = jnp.concatenate([fold(gi), fold(li)])
+        s_auds = jnp.concatenate([fold(ga), fold(la)])
+        t_imgs, t_auds = fold(gi), fold(ga)
+
+        # Teacher pass (outside grad; train-mode BN like the reference, whose teacher
+        # modules stay in train() — SURVEY.md §7 hard-part 4).
+        (t_projs, _), t_stats = apply_net(teacher, state.teacher_params,
+                                          state.teacher_batch_stats,
+                                          t_imgs, t_auds, k_t, train=True)
+        t_projs = jax.lax.stop_gradient(t_projs)
+        center = state.center if cfg.use_center else jnp.zeros_like(state.center)
+        t_centered = (t_projs - center).reshape(ng, b, -1)
+        # Global-batch center update (psum over the data axis under sharding);
+        # OLD center is applied above, then updated (dino.py:713-717).
+        new_center = (state.center * cfg.center_momentum
+                      + jnp.mean(t_projs, axis=0, keepdims=True) * (1 - cfg.center_momentum)) \
+            if cfg.use_center else state.center
+
+        def loss_fn(params):
+            (s_projs, s_feats), new_stats = apply_net(
+                student, params, state.batch_stats, s_imgs, s_auds, k_s, train=True)
+            s_out = s_projs.reshape(ng + nl, b, -1)
+            d_loss, t_probs = dino_loss_fn(
+                s_out, t_centered, cfg.student_temperature, cfg.teacher_temperature,
+                cfg.l2_normalize_before_softmax,
+                unimodal_recenter=(unimodal and cfg.unimodal_double_centering
+                                   and cfg.use_center))
+            metrics = {"dino_loss": d_loss}
+            loss = d_loss
+            if unimodal and cfg.cosine_loss_alpha > 0:
+                c_loss = cosine_consistency_loss(s_feats.reshape(ng + nl, b, -1))
+                loss = loss + cfg.cosine_loss_alpha * c_loss
+                metrics["cosine_loss"] = c_loss
+            if cfg.mode in ("mse", "infonce", "semi_supervised"):
+                (h_img, h_aud), new_stats2 = apply_net(
+                    student, params, new_stats, images, audios, k_h, train=True,
+                    method="modality_projections")
+                new_stats = new_stats2
+                if cfg.mode == "infonce":
+                    h = infonce_loss_fn(h_img, h_aud)
+                elif cfg.mode == "mse":
+                    h = mse_align_loss_fn(h_img, h_aud)
+                else:
+                    h = (cross_entropy(h_img, batch["label"])
+                         + cross_entropy(h_aud, batch["label"]))
+                loss = loss + cfg.alpha * h
+                metrics["hybrid_loss"] = h
+            # collapse detector: teacher prob entropy (first-class, SURVEY.md §5)
+            metrics["teacher_entropy"] = -jnp.mean(
+                jnp.sum(t_probs * jnp.log(t_probs + 1e-10), axis=-1))
+            return loss, (new_stats, metrics)
+
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # EMA teacher from PRE-update student params (dino.py:871; faithful default).
+        ema_src = {k: state.params[k] for k in state.teacher_params}
+        new_teacher = jax.tree.map(
+            lambda t, s: cfg.momentum * t + (1.0 - cfg.momentum) * s,
+            state.teacher_params, ema_src)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if not cfg.teacher_ema_before_optimizer:
+            new_teacher = jax.tree.map(
+                lambda t, s: cfg.momentum * t + (1.0 - cfg.momentum) * s,
+                state.teacher_params, {k: params[k] for k in state.teacher_params})
+
+        metrics = dict(metrics)
+        metrics["train_loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state, teacher_params=new_teacher,
+            teacher_batch_stats=t_stats, center=new_center)
+        return new_state, metrics
+
+    @jax.jit
+    def feature_fn(state: TrainState, batch: Dict) -> jnp.ndarray:
+        """Frozen student ENCODER features (what DownstreamClassifier/FeatureExtractor
+        consume, dino.py:1764-1851), eval mode."""
+        images = normalize_images(batch["image"])
+        audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
+        variables = {"params": state.params.get("encoder"),
+                     "batch_stats": state.batch_stats.get("encoder", {})}
+        if unimodal:
+            return encoder.apply(variables, images=images, spectrograms=audios,
+                                 train=False)
+        return encoder.apply(variables, images, audios, train=False)
+
+    return Objective(f"dino_{cfg.model_name}_{cfg.mode}", init_fn, step_fn,
+                     eval_fn=None, feature_fn=feature_fn,
+                     meta={"config": cfg, "student": student, "encoder": encoder,
+                           "augment": augment, "unimodal": unimodal})
