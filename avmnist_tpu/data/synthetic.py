@@ -15,12 +15,15 @@ from avmnist_tpu.data.memmap import AVMNISTArrays, AUDIO_SHAPE, IMAGE_SHAPE, avm
 
 
 def _make_templates(rng: np.random.Generator, shape, n_classes=10):
-    templates = rng.uniform(0.0, 1.0, size=(n_classes, *shape)).astype(np.float32)
-    # Smooth templates a little so conv encoders can pick up structure.
-    for ax in (1, 2):
-        templates = 0.5 * templates + 0.25 * (
-            np.roll(templates, 1, axis=ax) + np.roll(templates, -1, axis=ax)
-        )
+    """Low-spatial-frequency class templates (coarse random grids upsampled to full
+    size) — discriminable by every encoder family including global-average-pooled
+    ones like GP_LeNet, whose GAP taps erase fine-grained per-pixel signal."""
+    h, w = shape
+    gh, gw = 4, 4
+    coarse = rng.uniform(0.1, 0.9, size=(n_classes, gh, gw)).astype(np.float32)
+    reps_h, reps_w = -(-h // gh), -(-w // gw)
+    templates = np.stack([np.kron(c, np.ones((reps_h, reps_w), np.float32))[:h, :w]
+                          for c in coarse])
     return templates
 
 

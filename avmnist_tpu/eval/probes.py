@@ -51,8 +51,14 @@ def train_linear_probe(
     learning_rate: float = 1e-4,
     seed: int = 0,
     hidden_dim: int = 128,
+    select_feats: Optional[np.ndarray] = None,
+    select_labels: Optional[np.ndarray] = None,
 ) -> Dict:
-    """MLP probe on cached features. Returns accuracy (%) + preds/probs."""
+    """MLP probe on cached features. Returns accuracy (%) + preds/probs.
+
+    With ``select_feats/labels`` given, tracks per-epoch accuracy on that split and
+    restores the best epoch's params before final evaluation — matching
+    train_downstream's best-val-acc checkpoint selection (dino_train.py:274-314)."""
     d = train_feats.shape[1]
     model = MLPHead(hidden_dim=hidden_dim, num_classes=num_classes)
     rng = jax.random.key(seed)
@@ -86,15 +92,24 @@ def train_linear_probe(
         (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), idxs)
         return params, opt_state, losses.mean()
 
-    probe_rng = np.random.default_rng(seed)
-    train_loss = np.nan
-    for _ in range(epochs):
-        perm = jnp.asarray(probe_rng.permutation(n))
-        params, opt_state, train_loss = train_epoch(params, opt_state, perm)
-
     @jax.jit
     def predict(params, x):
         return model.apply({"params": params}, x)
+
+    probe_rng = np.random.default_rng(seed)
+    train_loss = np.nan
+    best_acc, best_params = -1.0, params
+    for _ in range(epochs):
+        perm = jnp.asarray(probe_rng.permutation(n))
+        params, opt_state, train_loss = train_epoch(params, opt_state, perm)
+        if select_feats is not None:
+            sel = np.asarray(jax.device_get(
+                predict(params, jnp.asarray(select_feats)))).argmax(-1)
+            acc = float((sel == select_labels).mean())
+            if acc > best_acc:
+                best_acc, best_params = acc, params
+    if select_feats is not None:
+        params = best_params
 
     logits = np.asarray(jax.device_get(predict(params, jnp.asarray(val_feats))))
     preds = logits.argmax(-1)

@@ -16,7 +16,7 @@ elementwise work.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,11 +26,11 @@ from avmnist_tpu.models.layers import kaiming_uniform, global_avg_pool, max_pool
 
 
 class KConv(nn.Conv):
-    kernel_init = staticmethod(kaiming_uniform)
+    kernel_init: Callable = kaiming_uniform
 
 
 class KDense(nn.Dense):
-    kernel_init = staticmethod(kaiming_uniform)
+    kernel_init: Callable = kaiming_uniform
 
 
 class GPLeNet(nn.Module):

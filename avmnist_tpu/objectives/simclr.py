@@ -1,0 +1,191 @@
+"""SimCLR objectives: audio-only NT-Xent + multimodal random-mode NT-Xent.
+
+Reference: archive/audio_simclr.py:12-96 (the authoritative copy — the live notebooks
+import an uncommitted local module, SURVEY.md §2c) and
+other_ssl/multimodal_simclr/multimodal_simclr.py:12-112.
+
+TPU-native: the two-view augmentation bank runs inside the jitted step; with the batch
+sharded over the mesh's data axis the 2B x 2B NT-Xent similarity matrix is formed on
+the GLOBAL batch — i.e. negatives are all-gathered over ICI (XLA materializes the
+all-gather on the (B, P) projections, never the pixels). The multimodal variant's
+per-batch random mode (img-img / aud-aud / img-aud / aud-img) is a ``lax.switch`` —
+one branch executes per step, as in the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from avmnist_tpu.augment.simclr import SimCLRAugment
+from avmnist_tpu.models.encoders import ImageEncoder, SpectrogramEncoder, SpectrogramEncoderMobileViT
+from avmnist_tpu.models.layers import ProjectionHead
+from avmnist_tpu.objectives.common import (
+    Objective,
+    cast_tree,
+    normalize_audio,
+    normalize_images,
+)
+from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
+from avmnist_tpu.train.state import TrainState
+
+
+def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.07) -> jnp.ndarray:
+    """NT-Xent exactly as the reference (audio_simclr.py:56-72): normalize, 2Bx2B
+    similarity, -inf diagonal, positives at (i, i+B) / (i+B, i)."""
+    reps = jnp.concatenate([z1, z2], axis=0)
+    reps = reps / (jnp.linalg.norm(reps, axis=1, keepdims=True) + 1e-12)
+    n = reps.shape[0]
+    b = n // 2
+    sim = (reps @ reps.T) / temperature
+    sim = jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, sim)
+    labels = jnp.concatenate([jnp.arange(b) + b, jnp.arange(b)])
+    return optax.softmax_cross_entropy_with_integer_labels(sim, labels).mean()
+
+
+class _SimCLRNet(nn.Module):
+    """Encoders + projection heads; methods select the (encoder, head) pair."""
+
+    output_dim: int = 256
+    projection_dim: int = 256
+    audio_only: bool = False
+    audio_encoder_name: str = "spectrogram_simple"
+
+    def setup(self):
+        if not self.audio_only:
+            self.image_encoder = ImageEncoder(output_dim=self.output_dim)
+            self.image_projection_head = ProjectionHead(self.projection_dim)
+        enc = {"spectrogram_simple": SpectrogramEncoder,
+               "spectrogram_mobile_vit": SpectrogramEncoderMobileViT}[self.audio_encoder_name]
+        self.audio_encoder = enc(output_dim=self.output_dim)
+        self.audio_projection_head = ProjectionHead(self.projection_dim)
+
+    def embed_image(self, images, train: bool = True):
+        f = self.image_encoder(images=images, spectrograms=None, train=train)
+        return self.image_projection_head(f, train=train)
+
+    def embed_audio(self, spectrograms, train: bool = True):
+        f = self.audio_encoder(images=None, spectrograms=spectrograms, train=train)
+        return self.audio_projection_head(f, train=train)
+
+    def image_features(self, images, train: bool = False):
+        return self.image_encoder(images=images, spectrograms=None, train=train)
+
+    def audio_features(self, spectrograms, train: bool = False):
+        return self.audio_encoder(images=None, spectrograms=spectrograms, train=train)
+
+    def __call__(self, img1, aud1, img2, aud2, mode, train: bool = True):
+        """mode: 0 img-img, 1 aud-aud, 2 img-aud, 3 aud-img
+        (multimodal_simclr.py:31-46). audio_only nets always use mode 1.
+
+        Both encoders embed both views and the pair is SELECTED by mode (a jnp.where
+        — gradients flow only through the selected branch). The reference runs just
+        the chosen encoders; computing all four here keeps BatchNorm state updates
+        shape-stable under jit. Deviation: BN running stats update for both encoders
+        every step (torch updates only the used ones) — eval-time-only effect."""
+        if self.audio_only:
+            return self.embed_audio(aud1, train), self.embed_audio(aud2, train)
+        zi1 = self.embed_image(img1, train)
+        zi2 = self.embed_image(img2, train)
+        za1 = self.embed_audio(aud1, train)
+        za2 = self.embed_audio(aud2, train)
+        use_img1 = (mode == 0) | (mode == 2)   # view-1 modality
+        use_img2 = (mode == 0) | (mode == 3)   # view-2 modality
+        z1 = jnp.where(use_img1, zi1, za1)
+        z2 = jnp.where(use_img2, zi2, za2)
+        return z1, z2
+
+    def init_all(self, img, aud, train: bool = False):
+        out = (self.embed_audio(aud, train),)
+        if not self.audio_only:
+            out = out + (self.embed_image(img, train),)
+        return out
+
+
+@dataclasses.dataclass
+class SimCLRConfig:
+    output_dim: int = 256
+    projection_dim: int = 256
+    learning_rate: float = 1e-4
+    num_epochs: int = 100
+    steps_per_epoch: Optional[int] = None
+    temperature: float = 0.07
+    audio_only: bool = False
+    audio_encoder_name: str = "spectrogram_simple"
+    best_augments: Optional[Dict] = None
+    audio_mean: float = 0.0
+    audio_std: float = 1.0
+    compute_dtype: Any = jnp.bfloat16
+
+
+def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
+    net = _SimCLRNet(output_dim=cfg.output_dim, projection_dim=cfg.projection_dim,
+                     audio_only=cfg.audio_only,
+                     audio_encoder_name=cfg.audio_encoder_name)
+    augment = SimCLRAugment.from_config(cfg.best_augments)
+    lr = (cosine_epoch_schedule(cfg.learning_rate, cfg.num_epochs, cfg.steps_per_epoch)
+          if cfg.steps_per_epoch else cfg.learning_rate)
+    tx = torch_adam(lr)
+
+    img0 = jnp.zeros((2, 28, 28, 1))
+    aud0 = jnp.zeros((2, 112, 112, 1))
+
+    def init_fn(rng) -> TrainState:
+        variables = net.init({"params": rng, "dropout": rng}, img0, aud0,
+                             train=False, method="init_all")
+        return TrainState(step=jnp.zeros((), jnp.int32),
+                          params=variables["params"],
+                          batch_stats=variables.get("batch_stats", {}),
+                          opt_state=tx.init(variables["params"]))
+
+    def apply_net(params, stats, rng, method, *args, train=True):
+        variables = {"params": cast_tree(params, cfg.compute_dtype),
+                     "batch_stats": cast_tree(stats, cfg.compute_dtype)}
+        args = tuple(a.astype(cfg.compute_dtype) if hasattr(a, "astype")
+                     and jnp.issubdtype(a.dtype, jnp.floating) else a for a in args)
+        out, upd = net.apply(variables, *args, train=train, rngs={"dropout": rng},
+                             mutable=["batch_stats"], method=method)
+        return (jax.tree.map(lambda x: x.astype(jnp.float32), out),
+                cast_tree(upd["batch_stats"], jnp.float32))
+
+    @jax.jit
+    def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        k_aug, k_mode, k_net = jax.random.split(rng, 3)
+        images = normalize_images(batch["image"])
+        audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
+        img1, aud1, img2, aud2 = augment(images[..., 0], audios[..., 0], k_aug)
+        mode = (jnp.ones((), jnp.int32) if cfg.audio_only
+                else jax.random.randint(k_mode, (), 0, 4))
+
+        def loss_fn(params):
+            (z1, z2), new_stats = apply_net(params, state.batch_stats, k_net,
+                                            None, img1, aud1, img2, aud2, mode)
+            return nt_xent_loss(z1, z2, cfg.temperature), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats, opt_state=opt_state)
+        return new_state, {"train_loss": loss, "mode": mode.astype(jnp.float32)}
+
+    def _feature(method):
+        @jax.jit
+        def fn(state: TrainState, batch: Dict) -> jnp.ndarray:
+            x = (normalize_images(batch["image"]) if method == "image_features"
+                 else normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std))
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            return net.apply(variables, x, train=False, method=method)
+        return fn
+
+    feature_fns = {"audio": _feature("audio_features")}
+    if not cfg.audio_only:
+        feature_fns["image"] = _feature("image_features")
+
+    name = "audio_simclr" if cfg.audio_only else "multimodal_simclr"
+    return Objective(name, init_fn, step_fn, feature_fn=feature_fns["audio"],
+                     meta={"config": cfg, "net": net, "feature_fns": feature_fns})

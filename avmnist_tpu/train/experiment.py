@@ -1,0 +1,227 @@
+"""Experiment drivers: the run_dino.py / ssl_train.py / benchmarks.ipynb orchestration
+rebuilt over the functional core.
+
+Artifact layout parity (SURVEY.md appendix):
+``{model_dir_scratch}/{model}_{metric}_{ddmmYYYY_HHMMSS}/`` with config copy,
+``logs_seed{N}/version_*/metrics.csv``, checkpoints, ``downstream/`` logs;
+``{model_dir_data}/...`` with ``final_results_*.csv``, ``performance_summary.txt``,
+``pca_plots/``, ``confusion_matrix/``.
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+import time
+from datetime import datetime
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from avmnist_tpu.data.datasets import Batches, split_train_val
+from avmnist_tpu.data.memmap import load_avmnist
+from avmnist_tpu.eval.metrics import (
+    compute_classification_metrics,
+    write_performance_summary,
+    write_prediction_csv,
+)
+from avmnist_tpu.eval.probes import extract_features, knn_probe, train_linear_probe
+from avmnist_tpu.objectives.common import Objective
+from avmnist_tpu.train.checkpoint import BestCheckpointer, load_checkpoint
+from avmnist_tpu.train.loops import fit
+from avmnist_tpu.utils.logging import CSVLogger
+from avmnist_tpu.utils.reproducibility import set_seed
+
+
+def run_dir_name(model_name: str, metric: str) -> str:
+    """``{model}_{metric}_{ddmmYYYY_HHMMSS}`` (reference run_dino.py:600-610)."""
+    return f"{model_name}_{metric}_{datetime.now().strftime('%d%m%Y_%H%M%S')}"
+
+
+def load_experiment_data(config: Dict, compute_stats: bool = False):
+    """Eval-side data: train/val split + test (reference AVMNISTDataModule)."""
+    data_dir = config["data"]["data_dir"]
+    scheme = config["hyperparameters"].get("data_augmentation", "burst_noise")
+    train = load_avmnist(data_dir, "train", scheme, compute_stats=compute_stats)
+    test = load_avmnist(data_dir, "test", scheme)
+    test.audio_mean, test.audio_std = train.audio_mean, train.audio_std
+    train_split, val_split = split_train_val(
+        train, config.get("data", {}).get("train_size", 55000),
+        config.get("data", {}).get("val_size", 5000),
+        seed=config["experiment"].get("seed", 1))
+    return train_split, val_split, test
+
+
+def _probe_features(objective: Objective, state, data, batch_size=256, feature_fn=None):
+    fn = feature_fn or objective.feature_fn
+    batches = Batches(data, batch_size=batch_size, shuffle=False,
+                      drop_remainder=True, pad_final=True)
+    return extract_features(lambda b: fn(state, b), batches)
+
+
+def compute_accuracies(
+    objective: Objective,
+    state,
+    train_split,
+    val_split,
+    test,
+    batch_size: int = 256,
+    downstream_epochs: int = 10,
+    downstream_lr: float = 1e-3,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    model_name: str = "model",
+    feature_fn=None,
+) -> Tuple[float, float, Dict]:
+    """kNN + 10-epoch MLP probes on frozen features (run_dino.py:481-501:
+    train_knn_classifier on train->test; train_downstream with best-val selection,
+    accuracy reported on test). Features are extracted ONCE and cached."""
+    tf, tl = _probe_features(objective, state, train_split, batch_size, feature_fn)
+    vf, vl = _probe_features(objective, state, val_split, batch_size, feature_fn)
+    sf, sl = _probe_features(objective, state, test, batch_size, feature_fn)
+
+    knn = knn_probe(tf, tl, sf, sl, k=5)
+    mlp = train_linear_probe(tf, tl, sf, sl, epochs=downstream_epochs,
+                             learning_rate=downstream_lr, seed=seed,
+                             select_feats=vf, select_labels=vl)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        write_prediction_csv(os.path.join(out_dir, f"{model_name}_test_log.csv"),
+                             sl, mlp["preds"], mlp["probs"])
+    return knn["accuracy"], mlp["accuracy"], mlp
+
+
+def make_mlp_probe_hook(objective: Objective, train_split, val_split,
+                        batch_size: int = 256, learning_rate: float = 1e-4):
+    """Per-epoch 1-epoch MLP probe logging ``mlp_acc``/``val_loss`` — the reference's
+    on_train_epoch_end (dino.py:878-951), restructured to train on cached frozen
+    features (the encoder is frozen during the probe, so re-running it per batch as
+    the reference does is redundant compute)."""
+
+    def hook(epoch: int, state, metrics: Dict) -> Dict:
+        tf, tl = _probe_features(objective, state, train_split, batch_size)
+        vf, vl = _probe_features(objective, state, val_split, batch_size)
+        out = train_linear_probe(tf, tl, vf, vl, epochs=1,
+                                 learning_rate=learning_rate, seed=epoch)
+        return {"mlp_acc": out["accuracy"], "val_loss": out["train_loss"]}
+
+    return hook
+
+
+@dataclasses.dataclass
+class SeedResult:
+    seed: int
+    knn_acc: float
+    mlp_acc: float
+    history: List[Dict]
+    training_time: float
+
+
+def run_seeds(
+    make_objective: Callable[[], Objective],
+    config: Dict,
+    train_split,
+    val_split,
+    test,
+    model_dir_scratch: str,
+    model_name: str,
+    metric: str = "mlp_acc",
+    epochs: Optional[int] = None,
+    mesh=None,
+    seeds: Sequence[int] = (1, 2, 3),
+    probe_hook: bool = True,
+    feature_fn=None,
+) -> List[SeedResult]:
+    """The multi-seed loop shared by every workload (run_dino.py:347-398,
+    ssl_train.py:115-201): same initial weights each seed (the reference reloads
+    ``initial_model_weights``), per-seed CSVLogger ``logs_seed{N}``, best-metric
+    checkpoint, post-training kNN + MLP probes."""
+    hp = config["hyperparameters"]
+    epochs = epochs or hp["num_epochs"]
+    results = []
+    objective = make_objective()
+    init_state = objective.init_fn(jax.random.key(config["experiment"].get("seed", 1)))
+    for seed in seeds:
+        set_seed(seed)
+        state = jax.tree.map(lambda x: x, init_state)  # same init every seed
+        logger = CSVLogger(model_dir_scratch, name=f"logs_seed{seed}")
+        logger.log_hyperparams(hp)
+        ckpt = BestCheckpointer(os.path.join(model_dir_scratch, f"ckpt_seed{seed}"),
+                                monitor=metric,
+                                mode="max" if metric == "mlp_acc" else "min")
+        hook = (make_mlp_probe_hook(objective, train_split, val_split,
+                                    learning_rate=hp.get("learning_rate", 1e-4))
+                if probe_hook else None)
+
+        def on_epoch_end(epoch, st, metrics):
+            extra = hook(epoch, st, metrics) if hook else {}
+            merged = {**metrics, **extra}
+            if metric in merged:
+                ckpt.update(merged, st)
+            return extra
+
+        t0 = time.time()
+        state, history = fit(
+            objective, train_split, epochs=epochs, batch_size=hp["batch_size"],
+            seed=seed, mesh=mesh, logger=logger, on_epoch_end=on_epoch_end,
+            state=state)
+        training_time = time.time() - t0
+        if ckpt.best_path:
+            state = load_checkpoint(ckpt.best_path, state)
+        knn_acc, mlp_acc, _ = compute_accuracies(
+            objective, state, train_split, val_split, test,
+            downstream_lr=1e-3, seed=seed,
+            out_dir=os.path.join(model_dir_scratch, "downstream"),
+            model_name=f"{model_name}_seed{seed}", feature_fn=feature_fn)
+        results.append(SeedResult(seed, knn_acc, mlp_acc, history, training_time))
+    return results
+
+
+def summarize_experiment(
+    results: List[SeedResult],
+    config: Dict,
+    model_dir_data: str,
+    model_name: str,
+    extra_summary: Optional[Dict[str, Any]] = None,
+    augment_dump: Optional[str] = None,
+) -> Dict[str, Any]:
+    """final_results CSV + performance_summary.txt (run_dino.py:434-479 formats)."""
+    os.makedirs(model_dir_data, exist_ok=True)
+    knn = [r.knn_acc for r in results]
+    mlp = [r.mlp_acc for r in results]
+    hp = config["hyperparameters"]
+    row = {
+        "model": model_name,
+        "learning_rate": hp.get("learning_rate"),
+        "batch_size": hp.get("batch_size"),
+        "momentum": hp.get("momentum"),
+        "center_momentum": hp.get("center_momentum"),
+        "projection_dim": hp.get("projection_dim"),
+        "output_dim": hp.get("output_dim"),
+        "data_augmentation": hp.get("data_augmentation", "burst_noise"),
+        "n_global_views": hp.get("n_global_views"),
+        "n_local_views": hp.get("n_local_views"),
+        "downstream_knn_accuracy": float(np.mean(knn)),
+        "downstream_knn_accuracy_std": float(np.std(knn)),
+        "downstream_mlp_acc": float(np.mean(mlp)),
+        "downstream_mlp_acc_std": float(np.std(mlp)),
+        "total_training_time": results[-1].training_time,
+        "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    import csv
+
+    path = os.path.join(model_dir_data, f"final_results_{model_name}.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(row))
+        w.writeheader()
+        w.writerow(row)
+
+    lines = [f"{k}: {v}" for k, v in (extra_summary or {}).items()]
+    if augment_dump:
+        lines += ["", "# Augmentation Summary", augment_dump]
+    write_performance_summary(
+        os.path.join(model_dir_data, "performance_summary.txt"), model_name,
+        {"downstream_knn_accuracy": knn, "downstream_mlp_acc": mlp},
+        extra_lines=lines)
+    return row

@@ -1,0 +1,134 @@
+"""Non-DINO SSL experiment harness + late fusion evaluation.
+
+Reference: training_structures/ssl_train.py — ``train_and_evaluate_ssl`` (:75-243,
+multi-seed fit monitored on train_loss, then per-modality kNN+MLP probes on the frozen
+``model.audio_encoder`` / ``model.image_encoder``) and ``LateFusionEncoder`` +
+``evaluate_multimodal_ssl`` (:245-359, frozen concat/sum/mean fusion of per-seed
+checkpoints re-probed)."""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from avmnist_tpu.eval.metrics import write_performance_summary
+from avmnist_tpu.eval.probes import knn_probe, train_linear_probe
+from avmnist_tpu.objectives.common import Objective
+from avmnist_tpu.train.checkpoint import BestCheckpointer, load_checkpoint, save_checkpoint
+from avmnist_tpu.train.experiment import _probe_features
+from avmnist_tpu.train.loops import fit
+from avmnist_tpu.utils.logging import CSVLogger
+from avmnist_tpu.utils.reproducibility import set_seed
+
+
+def _modality_probe(objective, state, modality, train_split, val_split, test,
+                    downstream_epochs=10, lr=1e-3, seed=0):
+    fn = objective.meta["feature_fns"][modality]
+    tf, tl = _probe_features(objective, state, train_split, feature_fn=fn)
+    vf, vl = _probe_features(objective, state, val_split, feature_fn=fn)
+    sf, sl = _probe_features(objective, state, test, feature_fn=fn)
+    knn = knn_probe(tf, tl, sf, sl, k=5)
+    mlp = train_linear_probe(tf, tl, sf, sl, epochs=downstream_epochs,
+                             learning_rate=lr, seed=seed,
+                             select_feats=vf, select_labels=vl)
+    return knn["accuracy"], mlp["accuracy"]
+
+
+def train_and_evaluate_ssl(
+    make_objective: Callable[[], Objective],
+    config: Dict,
+    train_split,
+    val_split,
+    test,
+    out_dir: str,
+    model_name: str,
+    epochs: Optional[int] = None,
+    mesh=None,
+    seeds: Sequence[int] = (1, 2, 3),
+) -> Dict:
+    """Multi-seed SSL pretraining + per-modality probing (ssl_train.py:75-243)."""
+    hp = config["hyperparameters"]
+    epochs = epochs or hp["num_epochs"]
+    objective = make_objective()
+    init_state = objective.init_fn(jax.random.key(config["experiment"].get("seed", 1)))
+    modalities = sorted(objective.meta.get("feature_fns", {"audio": None}))
+    acc: Dict[str, List[float]] = {f"{m}_{p}": [] for m in modalities
+                                   for p in ("knn_acc", "mlp_acc")}
+    ckpt_paths = []
+    t_total = 0.0
+    for seed in seeds:
+        set_seed(seed)
+        state = jax.tree.map(lambda x: x, init_state)
+        logger = CSVLogger(out_dir, name=f"logs/version_seed{seed}", version=0)
+        ckpt = BestCheckpointer(os.path.join(out_dir, f"ckpt_seed{seed}"),
+                                monitor="train_loss", mode="min")
+        t0 = time.time()
+        state, history = fit(
+            objective, train_split, epochs=epochs, batch_size=hp["batch_size"],
+            seed=seed, mesh=mesh, logger=logger,
+            on_epoch_end=lambda e, st, m: (ckpt.update(m, st) and {}) or {},
+            state=state)
+        t_total += time.time() - t0
+        if ckpt.best_path:
+            state = load_checkpoint(ckpt.best_path, state)
+        ckpt_paths.append(save_checkpoint(
+            os.path.join(out_dir, f"final_seed{seed}"), state))
+        for m in modalities:
+            k, p = _modality_probe(objective, state, m, train_split, val_split, test,
+                                   seed=seed)
+            acc[f"{m}_knn_acc"].append(k)
+            acc[f"{m}_mlp_acc"].append(p)
+    write_performance_summary(
+        os.path.join(out_dir, f"{model_name}_performance_summary.txt"),
+        model_name, acc,
+        extra_lines=[f"training_time_hours: {t_total / 3600:.2f}",
+                     f"n_seeds: {len(seeds)}"])
+    return {"accuracies": acc, "checkpoints": ckpt_paths,
+            "objective": objective, "init_state": init_state}
+
+
+def late_fusion_features(objective: Objective, state, data, fusion: str = "concat"):
+    """Frozen concat/sum/mean fusion of the two modality encoders' features
+    (LateFusionEncoder, ssl_train.py:245-292)."""
+    fi = objective.meta["feature_fns"]["image"]
+    fa = objective.meta["feature_fns"]["audio"]
+    xi, labels = _probe_features(objective, state, data, feature_fn=fi)
+    xa, _ = _probe_features(objective, state, data, feature_fn=fa)
+    if fusion == "concat":
+        return np.concatenate([xi, xa], axis=1), labels
+    if fusion == "sum":
+        return xi + xa, labels
+    if fusion == "mean":
+        return (xi + xa) / 2.0, labels
+    raise ValueError(fusion)
+
+
+def evaluate_multimodal_ssl(
+    objective: Objective,
+    template_state,
+    checkpoint_paths: Sequence[str],
+    train_split,
+    val_split,
+    test,
+    out_dir: str,
+    model_name: str,
+    fusion: str = "concat",
+) -> Dict:
+    """Late-fusion probe over per-seed checkpoints (ssl_train.py:294-359)."""
+    acc = {"knn_acc": [], "mlp_acc": []}
+    for i, path in enumerate(checkpoint_paths):
+        state = load_checkpoint(path, template_state)
+        tf, tl = late_fusion_features(objective, state, train_split, fusion)
+        vf, vl = late_fusion_features(objective, state, val_split, fusion)
+        sf, sl = late_fusion_features(objective, state, test, fusion)
+        acc["knn_acc"].append(knn_probe(tf, tl, sf, sl, k=5)["accuracy"])
+        acc["mlp_acc"].append(train_linear_probe(
+            tf, tl, sf, sl, epochs=10, learning_rate=1e-3, seed=i,
+            select_feats=vf, select_labels=vl)["accuracy"])
+    write_performance_summary(
+        os.path.join(out_dir, f"{model_name}_fusion_performance_summary.txt"),
+        f"{model_name} late fusion ({fusion})", acc)
+    return acc

@@ -65,7 +65,7 @@ class MetadataCSV:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "w", newline="") as f:
             writer = csv.writer(f)
-            writer.writerow(columns + ["# " + json.dumps(metadata) + "\n"])
+            writer.writerow(columns + ["# " + json.dumps(metadata)])
 
     def append(self, row: List[Any]) -> None:
         with open(self.path, "a", newline="") as f:

@@ -10,9 +10,16 @@ from avmnist_tpu.eval.metrics import (
 from avmnist_tpu.eval.probes import knn_probe, train_linear_probe
 
 
+_CENTERS = {}
+
+
 def clustered_features(n=600, d=32, n_classes=10, sep=3.0, seed=0):
+    # class centers are shared across calls (train/val must come from one distribution)
+    if (d, n_classes, sep) not in _CENTERS:
+        _CENTERS[(d, n_classes, sep)] = np.random.default_rng(42).normal(
+            size=(n_classes, d)) * sep
+    centers = _CENTERS[(d, n_classes, sep)]
     rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(n_classes, d)) * sep
     labels = rng.integers(0, n_classes, n)
     feats = centers[labels] + rng.normal(size=(n, d))
     return feats.astype(np.float32), labels.astype(np.int64)

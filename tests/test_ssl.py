@@ -1,0 +1,178 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avmnist_tpu.data import Batches
+from avmnist_tpu.objectives.autoencoder import AutoencoderConfig, make_autoencoder_objective
+from avmnist_tpu.objectives.dino import (
+    DinoConfig,
+    dino_loss_fn,
+    infonce_loss_fn,
+    make_dino_objective,
+)
+from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective, nt_xent_loss
+from avmnist_tpu.objectives.infonce import InfoNCEConfig, make_infonce_objective
+from avmnist_tpu.train.loops import fit
+
+
+def _np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_nt_xent_matches_manual():
+    rng = np.random.default_rng(0)
+    z1 = rng.normal(size=(3, 8)).astype(np.float32)
+    z2 = rng.normal(size=(3, 8)).astype(np.float32)
+    loss = float(nt_xent_loss(jnp.asarray(z1), jnp.asarray(z2), 0.07))
+    reps = np.concatenate([z1, z2])
+    reps = reps / np.linalg.norm(reps, axis=1, keepdims=True)
+    sim = reps @ reps.T / 0.07
+    np.fill_diagonal(sim, -np.inf)
+    labels = np.array([3, 4, 5, 0, 1, 2])
+    logp = np.log(_np_softmax(sim, axis=1) + 1e-30)
+    manual = -np.mean(logp[np.arange(6), labels])
+    assert abs(loss - manual) < 1e-4
+
+
+def test_infonce_matches_manual():
+    rng = np.random.default_rng(1)
+    zi = rng.normal(size=(4, 8)).astype(np.float32)
+    za = rng.normal(size=(4, 8)).astype(np.float32)
+    loss = float(infonce_loss_fn(jnp.asarray(zi), jnp.asarray(za), 0.07))
+    i = zi / np.linalg.norm(zi, axis=1, keepdims=True)
+    a = za / np.linalg.norm(za, axis=1, keepdims=True)
+    sim = i @ a.T / 0.07
+    ce = lambda s: -np.mean(np.log(_np_softmax(s, 1) + 1e-30)[np.arange(4), np.arange(4)])
+    manual = 0.5 * (ce(sim) + ce(sim.T))
+    assert abs(loss - manual) < 1e-4
+
+
+def test_dino_loss_matches_manual():
+    rng = np.random.default_rng(2)
+    s = rng.normal(size=(6, 4, 16)).astype(np.float32)  # Ns=6 views, B=4, P=16
+    t = rng.normal(size=(2, 4, 16)).astype(np.float32)
+    loss, _ = dino_loss_fn(jnp.asarray(s), jnp.asarray(t), 0.1, 0.04)
+    sn = s / np.linalg.norm(s, axis=-1, keepdims=True)
+    tn = t / np.linalg.norm(t, axis=-1, keepdims=True)
+    tp = _np_softmax(tn / 0.04)
+    sp = np.log(_np_softmax(sn / 0.1) + 1e-30)
+    total = 0.0
+    for si in range(6):
+        for ti in range(2):
+            total += -(tp[ti] * sp[si]).sum(-1).mean()
+    manual = total / 12
+    assert abs(float(loss) - manual) < 1e-3
+
+
+def _run_steps(obj, train, n_steps=4, batch_size=16, mesh=None):
+    state = obj.init_fn(jax.random.key(0))
+    epoch = Batches(train, batch_size=batch_size, shuffle=True, seed=0)
+    it = iter(epoch)
+    rng = jax.random.key(1)
+    losses = []
+    for i in range(n_steps):
+        rng, k = jax.random.split(rng)
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(epoch)
+            batch = next(it)
+        state, metrics = obj.step_fn(state, batch, k)
+        losses.append(float(metrics["train_loss"]))
+    return state, losses
+
+
+def test_simclr_objectives_step(synthetic_arrays):
+    train, _ = synthetic_arrays
+    for cfg in (SimCLRConfig(audio_only=True, output_dim=32, projection_dim=16),
+                SimCLRConfig(audio_only=False, output_dim=32, projection_dim=16)):
+        obj = make_simclr_objective(cfg)
+        state, losses = _run_steps(obj, train)
+        assert all(np.isfinite(losses))
+        feats = obj.feature_fn(state, train.gather(np.arange(8)))
+        assert feats.shape == (8, 32)
+
+
+def test_infonce_objective_steps_and_learns(synthetic_arrays):
+    train, _ = synthetic_arrays
+    obj = make_infonce_objective(InfoNCEConfig(output_dim=32, projection_dim=16,
+                                               learning_rate=1e-3))
+    state, losses = _run_steps(obj, train, n_steps=10, batch_size=32)
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])  # loss trends down
+    f = obj.meta["feature_fns"]["image"](state, train.gather(np.arange(4)))
+    assert f.shape == (4, 32)
+
+
+def test_autoencoder_objectives(synthetic_arrays):
+    train, _ = synthetic_arrays
+    for variant in ("plain", "masked"):
+        obj = make_autoencoder_objective(
+            AutoencoderConfig(variant=variant, output_dim=32, learning_rate=1e-3))
+        state, losses = _run_steps(obj, train, n_steps=8, batch_size=32)
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        feats = obj.feature_fn(state, train.gather(np.arange(4)))
+        assert feats.shape == (4, 32)
+
+
+@pytest.mark.parametrize("model_name,mode", [
+    ("multi_central", "default"),
+    ("multi_simple", "infonce"),
+    ("multi_simple", "mse"),
+    ("multi_simple", "semi_supervised"),
+    ("image_simple", "default"),
+    ("spectrogram_simple", "default"),
+])
+def test_dino_objective_steps(synthetic_arrays, model_name, mode):
+    train, _ = synthetic_arrays
+    cfg = DinoConfig(model_name=model_name, mode=mode, projection_dim=16,
+                     output_dim=32, encoder_output_dim=32, n_global_views=2,
+                     n_local_views=2, cosine_loss_alpha=0.3)
+    obj = make_dino_objective(cfg)
+    state, losses = _run_steps(obj, train, n_steps=3, batch_size=8)
+    assert all(np.isfinite(losses))
+    feats = obj.feature_fn(state, train.gather(np.arange(4)))
+    assert feats.shape == (4, 32)
+
+
+def test_dino_ema_and_center_semantics(synthetic_arrays):
+    train, _ = synthetic_arrays
+    cfg = DinoConfig(model_name="multi_central", projection_dim=8, output_dim=16,
+                     encoder_output_dim=16, n_global_views=2, n_local_views=2,
+                     momentum=0.9, center_momentum=0.5)
+    obj = make_dino_objective(cfg)
+    state0 = obj.init_fn(jax.random.key(0))
+    # teacher starts as exact student copy
+    s_enc = jax.tree.leaves(state0.params["encoder"])
+    t_enc = jax.tree.leaves(state0.teacher_params["encoder"])
+    for a, b in zip(s_enc, t_enc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.abs(state0.center).max()) == 0.0
+
+    batch = next(iter(Batches(train, batch_size=8, shuffle=False)))
+    state1, _ = obj.step_fn(state0, batch, jax.random.key(1))
+    # EMA from PRE-update student: teacher1 == m*teacher0 + (1-m)*student0 == student0
+    t1 = jax.tree.leaves(state1.teacher_params["encoder"])
+    for a, b in zip(s_enc, t1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # student moved, center updated
+    s1 = jax.tree.leaves(state1.params["encoder"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(s_enc, s1))
+    assert float(jnp.abs(state1.center).max()) > 0.0
+
+
+def test_dino_on_mesh(synthetic_arrays, mesh8):
+    from avmnist_tpu.parallel import shard_batch, replicate_state
+
+    train, _ = synthetic_arrays
+    cfg = DinoConfig(model_name="multi_central", projection_dim=8, output_dim=16,
+                     encoder_output_dim=16, n_global_views=2, n_local_views=2)
+    obj = make_dino_objective(cfg)
+    state = replicate_state(obj.init_fn(jax.random.key(0)), mesh8)
+    batch = shard_batch(next(iter(Batches(train, batch_size=16, shuffle=False))), mesh8)
+    state, metrics = obj.step_fn(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert len(batch["image"].sharding.device_set) == 8

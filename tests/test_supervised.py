@@ -18,10 +18,10 @@ def test_centralnet_learns_synthetic(synthetic_arrays, mesh8, tmp_path):
     obj = make_centralnet_objective(channels=4, learning_rate=1e-3)
     logger = CSVLogger(str(tmp_path), "logs_seed1")
     state, history = fit(
-        obj, train, epochs=3, batch_size=32, seed=1, mesh=mesh8,
+        obj, train, epochs=6, batch_size=32, seed=1, mesh=mesh8,
         val_data=test, logger=logger,
     )
-    assert len(history) == 3
+    assert len(history) == 6
     # learnable synthetic signal: accuracy should exceed chance (10%)
     final = evaluate(obj, state, Batches(test, 32, shuffle=False, pad_final=True), mesh8)
     assert final["accuracy"] > 25.0, f"no learning: {final['accuracy']}"
