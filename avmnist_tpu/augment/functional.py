@@ -1,25 +1,27 @@
-"""Pure, PRNG-key-driven augmentation primitives (device-side, jit/vmap-safe).
+"""Pure, PRNG-key-driven augmentation primitives (device-side, batched, MXU-first).
 
 Rebuilds the reference's per-sample CPU torchvision/torchaudio transform bank
-(get_data.py:21-408) as fixed-shape JAX ops:
+(get_data.py:21-408) as fixed-shape JAX ops over WHOLE BATCHES:
 
-- All geometric ops (RandomResizedCrop, RandomRotation, RandomAffine, the
-  TimeStretch-based TimeWarp) are expressed as 3x3 inverse-map affine matrices and
-  composed into a SINGLE bilinear gather per chain segment — one resample instead of
-  the reference's sequential PIL/tensor resamples.
-- Dynamic-shape reference ops are recast as fixed-shape math (SURVEY.md §7 hard-part 3):
-  TimeStretch's variable-length output + pad/trim (get_data.py:47-56) becomes an
-  x-axis scale about the origin with zero fill; RandomResizedCrop's data-dependent
-  box becomes a traced scale/translate.
-- `RandomApply(p)` is a `jnp.where` on the op's matrix (geometric) or output (pixel
-  ops) — branchless, XLA-friendly.
+- Geometric ops (RandomResizedCrop, RandomRotation, RandomAffine, the TimeStretch
+  TimeWarp) are 3x3 inverse-map affine matrices composed per chain segment into a
+  single resample. Axis-aligned segments (every audio chain: crop/scale/translate/
+  time-warp, no rotation) lower to per-sample interpolation matrices and TWO BATCHED
+  MATMULS — the resample rides the MXU instead of gather units. Rotation-bearing
+  segments (image chains, 28x28) use a batched bilinear gather, which is tiny at that
+  size.
+- Dynamic-shape reference ops are recast as fixed-shape math (SURVEY.md §7 hard-part
+  3): TimeStretch's variable-length output + pad/trim (get_data.py:47-56) is an
+  x-scale about the origin with zero fill; RandomResizedCrop's data-dependent box is a
+  traced scale/translate.
+- ``RandomApply(p)`` is a branchless where/select on matrices or outputs.
 
 Randomness parity is distributional, not bitwise (torch consumes global CPU RNG;
-parity criterion is probe accuracy within 0.5%, SURVEY.md §7 hard-part 2). Exact-value
-behavior at FIXED parameters is unit-tested instead.
+parity criterion is probe accuracy within 0.5%, SURVEY.md §7 hard-part 2); exact-value
+behavior at FIXED parameters is unit-tested.
 
-All functions operate on a single-channel image ``img: (H, W) float32`` and are
-vmapped over batch/views by the callers in multicrop.py / simclr.py.
+All public functions take batched images ``(N, H, W)`` and per-sample key arrays
+``(N,)`` (or one key for batch-level randomness) and are jit-safe.
 """
 from __future__ import annotations
 
@@ -47,7 +49,6 @@ def _mat(sx, sy, tx, ty) -> Array:
 def _rot_mat(theta, cx, cy) -> Array:
     """Inverse-map rotation about center (cx, cy)."""
     c, s = jnp.cos(theta), jnp.sin(theta)
-    # in = R(theta) (out - c) + c
     tx = cx - c * cx + s * cy
     ty = cy - s * cx - c * cy
     z = jnp.zeros(())
@@ -56,73 +57,120 @@ def _rot_mat(theta, cx, cy) -> Array:
     )
 
 
-def maybe(key, p: float, mat: Array) -> Array:
-    """RandomApply for a matrix op: identity with prob 1-p."""
-    return jnp.where(jax.random.bernoulli(key, p), mat, IDENTITY)
+def maybe_mat(key, p: float, mat: Array) -> Array:
+    """RandomApply for a (batched) matrix op: identity with prob 1-p, per sample."""
+    if p >= 1.0:
+        return mat
+    gate = jax.random.bernoulli(key, p, (mat.shape[0],)) if mat.ndim == 3 \
+        else jax.random.bernoulli(key, p)
+    return jnp.where(gate[..., None, None] if mat.ndim == 3 else gate, mat,
+                     IDENTITY)
 
 
-def affine_bilinear(img: Array, mat: Array, out_shape: Optional[Tuple[int, int]] = None) -> Array:
-    """Bilinear resample with zero fill outside: out[y, x] = img(mat @ [x, y, 1])."""
-    H, W = img.shape
-    oh, ow = out_shape or (H, W)
+def _interp_matrix(coords: Array, n_in: int) -> Array:
+    """Bilinear interpolation matrices from per-sample source coordinates.
+
+    coords (N, n_out): source position of every output pixel; returns (N, n_out, n_in)
+    hat-function weights — zero outside [0, n_in-1], which IS zero-fill bilinear."""
+    j = jnp.arange(n_in, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - j))
+
+
+def separable_resample(imgs: Array, sx, tx, sy, ty,
+                       out_hw: Optional[Tuple[int, int]] = None) -> Array:
+    """Batched axis-aligned bilinear resample as two matmuls (MXU path).
+
+    imgs (N, H, W); sx/tx/sy/ty (N,) inverse-map params. out = Wy @ img @ Wx^T."""
+    n, h, w = imgs.shape
+    oh, ow = out_hw or (h, w)
+    ox = jnp.arange(ow, dtype=jnp.float32)
+    oy = jnp.arange(oh, dtype=jnp.float32)
+    wx = _interp_matrix(sx[:, None] * ox + tx[:, None], w)  # (N, ow, W)
+    wy = _interp_matrix(sy[:, None] * oy + ty[:, None], h)  # (N, oh, H)
+    tmp = jnp.einsum("noh,nhw->now", wy, imgs)
+    return jnp.einsum("now,nvw->nov", tmp, wx)
+
+
+def batched_affine_gather(imgs: Array, mats: Array,
+                          out_hw: Optional[Tuple[int, int]] = None,
+                          displacement: Optional[Tuple[Array, Array]] = None) -> Array:
+    """Batched general-affine bilinear gather with zero fill (28x28 image path).
+
+    imgs (N, H, W); mats (N, 3, 3) inverse maps. ``displacement`` = optional
+    (dy, dx) elastic warp fields composed INTO the same gather (in = M @ (p + d(p)))
+    — one resample instead of nested gathers, which both matches torchvision's
+    transform order and avoids an XLA compile blowup from gather-of-gather fusion."""
+    n, h, w = imgs.shape
+    oh, ow = out_hw or (h, w)
     oy = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
     ox = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
-    in_x = mat[0, 0] * ox + mat[0, 1] * oy + mat[0, 2]
-    in_y = mat[1, 0] * ox + mat[1, 1] * oy + mat[1, 2]
+    if displacement is not None:
+        dy, dx = displacement
+        oy = oy + dy
+        ox = ox + dx
+    in_x = (mats[:, 0, 0, None, None] * ox + mats[:, 0, 1, None, None] * oy
+            + mats[:, 0, 2, None, None])
+    in_y = (mats[:, 1, 0, None, None] * ox + mats[:, 1, 1, None, None] * oy
+            + mats[:, 1, 2, None, None])
     x0 = jnp.floor(in_x)
     y0 = jnp.floor(in_y)
     wx = in_x - x0
     wy = in_y - y0
+    flat = imgs.reshape(n, h * w)
 
     def tap(yi, xi):
-        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        v = img[jnp.clip(yi, 0, H - 1).astype(jnp.int32),
-                jnp.clip(xi, 0, W - 1).astype(jnp.int32)]
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = (jnp.clip(yi, 0, h - 1) * w
+               + jnp.clip(xi, 0, w - 1)).astype(jnp.int32).reshape(n, -1)
+        v = jnp.take_along_axis(flat, idx, axis=1).reshape(n, oh, ow)
         return jnp.where(valid, v, 0.0)
 
-    return (
-        tap(y0, x0) * (1 - wx) * (1 - wy)
-        + tap(y0, x0 + 1) * wx * (1 - wy)
-        + tap(y0 + 1, x0) * (1 - wx) * wy
-        + tap(y0 + 1, x0 + 1) * wx * wy
-    )
+    return (tap(y0, x0) * (1 - wx) * (1 - wy)
+            + tap(y0, x0 + 1) * wx * (1 - wy)
+            + tap(y0 + 1, x0) * (1 - wx) * wy
+            + tap(y0 + 1, x0 + 1) * wx * wy)
 
 
-# ----------------------------- geometric op matrices -----------------------------
+def apply_affine_batch(imgs: Array, mats: Array, has_rotation: bool) -> Array:
+    """Dispatch: separable matmuls when the chain is statically axis-aligned."""
+    if has_rotation:
+        return batched_affine_gather(imgs, mats)
+    return separable_resample(imgs, mats[:, 0, 0], mats[:, 0, 2],
+                              mats[:, 1, 1], mats[:, 1, 2])
 
 
-def random_resized_crop_mat(
-    key, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+# ----------------------------- geometric op matrices (batched) -----------------------------
+
+
+def random_resized_crop_mats(
+    key, n: int, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
     scale: Tuple[float, float], ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
 ) -> Array:
     """torchvision RandomResizedCrop box sampling (single-shot, clamped — torchvision
-    retries 10x then center-crops; the clamp keeps the same support)."""
+    retries 10x then center-crops; the clamp keeps the same support). Returns (N,3,3)."""
     H, W = in_hw
     oh, ow = out_hw
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    area = H * W * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
-    logr = jax.random.uniform(
-        k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
-    )
-    r = jnp.exp(logr)
+    area = H * W * jax.random.uniform(k1, (n,), minval=scale[0], maxval=scale[1])
+    r = jnp.exp(jax.random.uniform(k2, (n,), minval=jnp.log(ratio[0]),
+                                   maxval=jnp.log(ratio[1])))
     w = jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, W)
     h = jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, H)
-    top = jax.random.uniform(k3) * (H - h)
-    left = jax.random.uniform(k4) * (W - w)
+    top = jax.random.uniform(k3, (n,)) * (H - h)
+    left = jax.random.uniform(k4, (n,)) * (W - w)
     sx = w / ow
     sy = h / oh
-    # in = left + (out + 0.5) * s - 0.5
-    return _mat(sx, sy, left + 0.5 * sx - 0.5, top + 0.5 * sy - 0.5)
+    return jax.vmap(_mat)(sx, sy, left + 0.5 * sx - 0.5, top + 0.5 * sy - 0.5)
 
 
-def random_rotation_mat(key, degrees: float, hw: Tuple[int, int]) -> Array:
+def random_rotation_mats(key, n: int, degrees: float, hw: Tuple[int, int]) -> Array:
     H, W = hw
-    theta = jax.random.uniform(key, minval=-degrees, maxval=degrees) * jnp.pi / 180.0
-    return _rot_mat(theta, (W - 1) / 2.0, (H - 1) / 2.0)
+    theta = jax.random.uniform(key, (n,), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
+    return jax.vmap(lambda t: _rot_mat(t, (W - 1) / 2.0, (H - 1) / 2.0))(theta)
 
 
-def random_affine_mat(
-    key, hw: Tuple[int, int],
+def random_affine_mats(
+    key, n: int, hw: Tuple[int, int],
     translate: Tuple[float, float] = (0.0, 0.0),
     scale: Optional[Tuple[float, float]] = None,
     degrees: float = 0.0,
@@ -130,109 +178,124 @@ def random_affine_mat(
     """torchvision RandomAffine (translate fractions, uniform scale, optional rotation)."""
     H, W = hw
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    tx = jax.random.uniform(k1, minval=-translate[0], maxval=translate[0]) * W
-    ty = jax.random.uniform(k2, minval=-translate[1], maxval=translate[1]) * H
-    s = (
-        jax.random.uniform(k3, minval=scale[0], maxval=scale[1])
-        if scale is not None
-        else jnp.ones(())
-    )
+    tx = jax.random.uniform(k1, (n,), minval=-translate[0], maxval=translate[0]) * W
+    ty = jax.random.uniform(k2, (n,), minval=-translate[1], maxval=translate[1]) * H
+    s = (jax.random.uniform(k3, (n,), minval=scale[0], maxval=scale[1])
+         if scale is not None else jnp.ones((n,)))
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
     # inverse of (scale about center, then translate): in = (out - t - c)/s + c
-    m = _mat(1.0 / s, 1.0 / s, cx - (cx + tx) / s, cy - (cy + ty) / s)
+    m = jax.vmap(_mat)(1.0 / s, 1.0 / s, cx - (cx + tx) / s, cy - (cy + ty) / s)
     if degrees:
-        m = m @ random_rotation_mat(k4, degrees, hw)
+        m = jnp.einsum("nij,njk->nik", m, random_rotation_mats(k4, n, degrees, hw))
     return m
 
 
-def time_warp_mat(key, min_factor: float, max_factor: float) -> Array:
-    """TimeWarpWithStretch (get_data.py:29-58): a torchaudio TimeStretch phase vocoder
-    applied to a zero-phase complex spectrogram + abs + pad/trim. On zero-phase input
-    the vocoder magnitude reduces to linear interpolation of columns at positions
-    t*rate, so the exact fixed-shape equivalent is an x-scale about the origin with
-    zero fill past the stretched end."""
-    rate = jax.random.uniform(key, minval=min_factor, maxval=max_factor)
-    return _mat(rate, 1.0, jnp.zeros(()), jnp.zeros(()))
+def time_warp_mats(key, n: int, min_factor: float, max_factor: float) -> Array:
+    """TimeWarpWithStretch (get_data.py:29-58): torchaudio TimeStretch on a zero-phase
+    complex spectrogram + abs + pad/trim. On zero-phase input the vocoder magnitude
+    reduces to linear interpolation of columns at positions t*rate, so the exact
+    fixed-shape equivalent is an x-scale about the origin with zero fill."""
+    rate = jax.random.uniform(key, (n,), minval=min_factor, maxval=max_factor)
+    zeros = jnp.zeros((n,))
+    return jax.vmap(_mat)(rate, jnp.ones((n,)), zeros, zeros)
 
 
-# ----------------------------- pixel-space ops -----------------------------
+# ----------------------------- pixel-space ops (batched) -----------------------------
 
 
-def axis_mask(img: Array, key, mask_param: float, axis: int) -> Array:
+def axis_mask(imgs: Array, key, mask_param: float, axis: int) -> Array:
     """torchaudio Frequency/TimeMasking: width ~ U(0, param), start ~ U(0, size-width),
-    zero the band. axis=0 masks rows (frequency), axis=1 masks columns (time)."""
-    size = img.shape[axis]
+    zero the band. axis=1 masks rows (frequency), axis=2 masks columns (time)."""
+    n = imgs.shape[0]
+    size = imgs.shape[axis]
     k1, k2 = jax.random.split(key)
-    v = jax.random.uniform(k1) * mask_param
-    start = jax.random.uniform(k2) * (size - v)
-    idx = jax.lax.broadcasted_iota(jnp.float32, img.shape, axis)
-    keep = (idx < start) | (idx >= start + v)
-    return img * keep
+    v = jax.random.uniform(k1, (n,)) * mask_param
+    start = jax.random.uniform(k2, (n,)) * (size - v)
+    idx = jax.lax.broadcasted_iota(jnp.float32, imgs.shape, axis)
+    shape = [n, 1, 1]
+    keep = (idx < start.reshape(shape)) | (idx >= (start + v).reshape(shape))
+    return imgs * keep
 
 
-def gaussian_noise(img: Array, key, std: float) -> Array:
+def gaussian_noise(imgs: Array, key, std: float) -> Array:
     """GaussianNoise (get_data.py:21-27)."""
-    return img + jax.random.normal(key, img.shape) * std
+    return imgs + jax.random.normal(key, imgs.shape) * std
 
 
-def grouped_masking(img: Array, key, mask_ratio: float, group_size: int = 4) -> Array:
+def grouped_masking(imgs: Array, key, mask_ratio: float, group_size: int = 4) -> Array:
     """GroupedMasking (get_data.py:60-108): zero exactly int(ratio*G) of the
-    (H/g)x(W/g) patch groups, chosen uniformly (randperm -> uniform-score top-k)."""
-    H, W = img.shape
-    gh, gw = H // group_size, W // group_size
-    n = gh * gw
-    k = int(mask_ratio * n)
-    if k == 0:
-        return img
-    scores = jax.random.uniform(key, (n,))
-    thresh = jnp.sort(scores)[k - 1]
-    keep = (scores > thresh).astype(img.dtype).reshape(gh, gw)
-    keep = jnp.repeat(jnp.repeat(keep, group_size, axis=0), group_size, axis=1)
-    return img * keep
+    (H/g)x(W/g) patch groups per sample (randperm -> uniform-score threshold)."""
+    keep = grouped_mask_batch(key, imgs.shape, mask_ratio, group_size)
+    return imgs * keep
 
 
 def grouped_mask_batch(key, batch_shape: Tuple[int, int, int], mask_ratio: float,
-                       group_size: int = 4):
-    """Batched mask generator for the masked autoencoders (autoencoder.ipynb cell 5).
-    Returns keep-mask (B, H, W) float32 with 0 at masked groups (reference convention)."""
+                       group_size: int = 4) -> Array:
+    """Batched keep-mask (B, H, W) float32, 0 at masked groups (also serves the masked
+    autoencoders, autoencoder.ipynb cell 5)."""
     B, H, W = batch_shape
     gh, gw = H // group_size, W // group_size
     n = gh * gw
     k = int(mask_ratio * n)
+    if k == 0:
+        return jnp.ones((B, H, W), jnp.float32)
     scores = jax.random.uniform(key, (B, n))
     thresh = jnp.sort(scores, axis=1)[:, k - 1 : k]
     keep = (scores > thresh).astype(jnp.float32).reshape(B, gh, gw)
     return jnp.repeat(jnp.repeat(keep, group_size, axis=1), group_size, axis=2)
 
 
-def random_erasing(img: Array, key, p: float, scale: Tuple[float, float],
+def random_erasing(imgs: Array, key, p: float, scale: Tuple[float, float],
                    ratio: Tuple[float, float] = (0.3, 3.3)) -> Array:
     """torchvision RandomErasing(value=0), single-shot box sample with clamping."""
-    H, W = img.shape
+    n, H, W = imgs.shape
     k0, k1, k2, k3, k4 = jax.random.split(key, 5)
-    area = H * W * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
-    r = jnp.exp(jax.random.uniform(k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])))
+    area = H * W * jax.random.uniform(k1, (n,), minval=scale[0], maxval=scale[1])
+    r = jnp.exp(jax.random.uniform(k2, (n,), minval=jnp.log(ratio[0]),
+                                   maxval=jnp.log(ratio[1])))
     h = jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, H - 1)
     w = jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, W - 1)
-    top = jnp.floor(jax.random.uniform(k3) * (H - h + 1))
-    left = jnp.floor(jax.random.uniform(k4) * (W - w + 1))
-    ys = jax.lax.broadcasted_iota(jnp.float32, img.shape, 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, img.shape, 1)
-    inside = (ys >= top) & (ys < top + h) & (xs >= left) & (xs < left + w)
-    erased = jnp.where(inside, 0.0, img)
-    return jnp.where(jax.random.bernoulli(k0, p), erased, img)
+    top = jnp.floor(jax.random.uniform(k3, (n,)) * (H - h + 1))
+    left = jnp.floor(jax.random.uniform(k4, (n,)) * (W - w + 1))
+    ys = jax.lax.broadcasted_iota(jnp.float32, imgs.shape, 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, imgs.shape, 2)
+    sh = (n, 1, 1)
+    inside = ((ys >= top.reshape(sh)) & (ys < (top + h).reshape(sh))
+              & (xs >= left.reshape(sh)) & (xs < (left + w).reshape(sh)))
+    erased = jnp.where(inside, 0.0, imgs)
+    apply = jax.random.bernoulli(k0, p, (n,))
+    return jnp.where(apply.reshape(sh), erased, imgs)
 
 
-def gaussian_blur3(img: Array, key, sigma: Tuple[float, float] = (0.1, 0.5)) -> Array:
-    """torchvision GaussianBlur(kernel_size=3) with sigma ~ U(range), separable."""
-    s = jax.random.uniform(key, minval=sigma[0], maxval=sigma[1])
+def _sep_blur(imgs: Array, ky: Array, kx: Array) -> Array:
+    """Separable blur via depthwise conv; ky/kx 1-D kernels (broadcast or per-sample)."""
+    n, H, W = imgs.shape
+    x = imgs[..., None]  # NHWC
+    kh = ky.shape[-1]
+    kw = kx.shape[-1]
+    if ky.ndim == 1:
+        x = jax.lax.conv_general_dilated(
+            x, ky.reshape(kh, 1, 1, 1), (1, 1), [(kh // 2, kh // 2), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.lax.conv_general_dilated(
+            x, kx.reshape(1, kw, 1, 1), (1, 1), [(0, 0), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return x[..., 0]
+    # per-sample kernels: small kh/kw — expand as weighted shifts
+    pad_y = jnp.pad(imgs, ((0, 0), (kh // 2, kh // 2), (0, 0)), mode="edge")
+    out = sum(pad_y[:, i : i + H, :] * ky[:, i, None, None] for i in range(kh))
+    pad_x = jnp.pad(out, ((0, 0), (0, 0), (kw // 2, kw // 2)), mode="edge")
+    return sum(pad_x[:, :, i : i + W] * kx[:, i, None, None] for i in range(kw))
+
+
+def gaussian_blur3(imgs: Array, key, sigma: Tuple[float, float] = (0.1, 0.5)) -> Array:
+    """torchvision GaussianBlur(kernel_size=3) with per-sample sigma ~ U(range)."""
+    n = imgs.shape[0]
+    s = jax.random.uniform(key, (n,), minval=sigma[0], maxval=sigma[1])
     x = jnp.array([-1.0, 0.0, 1.0])
-    k = jnp.exp(-(x**2) / (2.0 * s**2))
-    k = k / k.sum()
-    pad = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
-    img = pad[:-2] * k[0] + pad[1:-1] * k[1] + pad[2:] * k[2]
-    pad = jnp.pad(img, ((0, 0), (1, 1)), mode="edge")
-    return pad[:, :-2] * k[0] + pad[:, 1:-1] * k[1] + pad[:, 2:] * k[2]
+    k = jnp.exp(-(x[None, :] ** 2) / (2.0 * s[:, None] ** 2))
+    k = k / k.sum(axis=1, keepdims=True)
+    return _sep_blur(imgs, k, k)
 
 
 def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
@@ -241,42 +304,64 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
     return k / k.sum()
 
 
-def elastic_transform(img: Array, key, alpha: float = 20.0, sigma: float = 3.0) -> Array:
-    """torchvision ElasticTransform approximation: smooth random displacement field
-    (uniform noise, separable gaussian blur, scaled by alpha/size) + bilinear warp."""
-    H, W = img.shape
-    k1, k2 = jax.random.split(key)
+def elastic_displacement(key, shape: Tuple[int, int, int], alpha: float = 20.0,
+                         sigma: float = 3.0, p: float = 1.0) -> Tuple[Array, Array]:
+    """torchvision ElasticTransform displacement approximation: smooth random field
+    (uniform noise, separable gaussian blur, scaled by alpha/size). Per-sample
+    RandomApply(p) gates the field to zero. Returns (dy, dx) of shape (N, H, W)."""
+    n, H, W = shape
+    k0, k1, k2 = jax.random.split(key, 3)
     radius = int(3 * sigma)
     kern = _gaussian_kernel1d(sigma, radius)
+    dx = _sep_blur(jax.random.uniform(k1, (n, H, W), minval=-1.0, maxval=1.0),
+                   kern, kern) * alpha / W
+    dy = _sep_blur(jax.random.uniform(k2, (n, H, W), minval=-1.0, maxval=1.0),
+                   kern, kern) * alpha / H
+    if p < 1.0:
+        gate = jax.random.bernoulli(k0, p, (n,))[:, None, None]
+        dx = jnp.where(gate, dx, 0.0)
+        dy = jnp.where(gate, dy, 0.0)
+    return dy, dx
 
-    def smooth(noise):
-        n = jnp.pad(noise, ((radius, radius), (0, 0)), mode="reflect")
-        n = jax.vmap(lambda col: jnp.convolve(col, kern, mode="valid"), 1, 1)(n)
-        n = jnp.pad(n, ((0, 0), (radius, radius)), mode="reflect")
-        return jax.vmap(lambda row: jnp.convolve(row, kern, mode="valid"), 0, 0)(n)
 
-    dx = smooth(jax.random.uniform(k1, (H, W), minval=-1.0, maxval=1.0)) * alpha / W
-    dy = smooth(jax.random.uniform(k2, (H, W), minval=-1.0, maxval=1.0)) * alpha / H
-    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + dy
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + dx
+def elastic_transform(imgs: Array, key, alpha: float = 20.0, sigma: float = 3.0) -> Array:
+    """Standalone elastic warp. Coordinates are built directly (no constant identity
+    matrices — XLA constant-folds gathers through constant affine matrices
+    pathologically slowly on TPU)."""
+    n, H, W = imgs.shape
+    dy, dx = elastic_displacement(key, imgs.shape, alpha, sigma)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (n, H, W), 1) + dy
+    xs = jax.lax.broadcasted_iota(jnp.float32, (n, H, W), 2) + dx
     x0, y0 = jnp.floor(xs), jnp.floor(ys)
     wx, wy = xs - x0, ys - y0
+    flat = imgs.reshape(n, H * W)
 
     def tap(yi, xi):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        v = img[jnp.clip(yi, 0, H - 1).astype(jnp.int32),
-                jnp.clip(xi, 0, W - 1).astype(jnp.int32)]
+        idx = (jnp.clip(yi, 0, H - 1) * W
+               + jnp.clip(xi, 0, W - 1)).astype(jnp.int32).reshape(n, -1)
+        v = jnp.take_along_axis(flat, idx, axis=1).reshape(n, H, W)
         return jnp.where(valid, v, 0.0)
 
-    return (
-        tap(y0, x0) * (1 - wx) * (1 - wy)
-        + tap(y0, x0 + 1) * wx * (1 - wy)
-        + tap(y0 + 1, x0) * (1 - wx) * wy
-        + tap(y0 + 1, x0 + 1) * wx * wy
-    )
+    return (tap(y0, x0) * (1 - wx) * (1 - wy)
+            + tap(y0, x0 + 1) * wx * (1 - wy)
+            + tap(y0 + 1, x0) * (1 - wx) * wy
+            + tap(y0 + 1, x0 + 1) * wx * wy)
 
 
-def maybe_pixel(key, p: float, fn, img: Array, *args) -> Array:
-    """RandomApply for a pixel op (both branches computed; XLA fuses the select)."""
+def maybe_pixel(key, p: float, fn, imgs: Array, *args) -> Array:
+    """Per-sample RandomApply for a pixel op (both branches computed; XLA fuses)."""
     k_gate, k_op = jax.random.split(key)
-    return jnp.where(jax.random.bernoulli(k_gate, p), fn(img, k_op, *args), img)
+    out = fn(imgs, k_op, *args)
+    if p >= 1.0:
+        return out
+    gate = jax.random.bernoulli(k_gate, p, (imgs.shape[0],))
+    return jnp.where(gate[:, None, None], out, imgs)
+
+
+# ------------- single-image compatibility wrappers (tests / ad-hoc use) -------------
+
+
+def affine_bilinear(img: Array, mat: Array, out_shape=None) -> Array:
+    """Single-image general affine resample (batched gather under the hood)."""
+    return batched_affine_gather(img[None], mat[None], out_shape)[0]

@@ -24,6 +24,12 @@ from avmnist_tpu.augment import functional as F
 GEOMETRIC = ("random_resized_crop", "random_rotation", "random_affine", "time_warp")
 
 
+def _op_has_rotation(spec: "OpSpec") -> bool:
+    if spec.kind == "random_rotation":
+        return True
+    return spec.kind == "random_affine" and bool(spec.kw.get("degrees", 0.0))
+
+
 @dataclasses.dataclass(frozen=True)
 class OpSpec:
     kind: str
@@ -39,66 +45,77 @@ def op(kind: str, p: float = 1.0, **params) -> OpSpec:
     return OpSpec(kind, tuple(sorted(params.items())), p)
 
 
-def _matrix_for(spec: OpSpec, key, hw) -> jnp.ndarray:
+def _matrices_for(spec: OpSpec, key, n: int, hw) -> jnp.ndarray:
     kw = spec.kw
     if spec.kind == "random_resized_crop":
-        m = F.random_resized_crop_mat(key, hw, hw, tuple(kw["scale"]),
-                                      tuple(kw.get("ratio", (0.75, 4.0 / 3.0))))
+        m = F.random_resized_crop_mats(key, n, hw, hw, tuple(kw["scale"]),
+                                       tuple(kw.get("ratio", (0.75, 4.0 / 3.0))))
     elif spec.kind == "random_rotation":
-        m = F.random_rotation_mat(key, kw["degrees"], hw)
+        m = F.random_rotation_mats(key, n, kw["degrees"], hw)
     elif spec.kind == "random_affine":
-        m = F.random_affine_mat(key, hw, tuple(kw.get("translate", (0.0, 0.0))),
-                                tuple(kw["scale"]) if kw.get("scale") else None,
-                                kw.get("degrees", 0.0))
+        m = F.random_affine_mats(key, n, hw, tuple(kw.get("translate", (0.0, 0.0))),
+                                 tuple(kw["scale"]) if kw.get("scale") else None,
+                                 kw.get("degrees", 0.0))
     elif spec.kind == "time_warp":
-        m = F.time_warp_mat(key, kw["min_factor"], kw["max_factor"])
+        m = F.time_warp_mats(key, n, kw["min_factor"], kw["max_factor"])
     else:
         raise ValueError(spec.kind)
     return m
 
 
-def _apply_pixel(spec: OpSpec, img, key):
+def _apply_pixel(spec: OpSpec, imgs, key):
     kw = spec.kw
     if spec.kind == "frequency_mask":
-        return F.maybe_pixel(key, spec.p, F.axis_mask, img, kw["freq_mask_param"], 0)
+        return F.maybe_pixel(key, spec.p, F.axis_mask, imgs, kw["freq_mask_param"], 1)
     if spec.kind == "time_mask":
-        return F.maybe_pixel(key, spec.p, F.axis_mask, img, kw["time_mask_param"], 1)
+        return F.maybe_pixel(key, spec.p, F.axis_mask, imgs, kw["time_mask_param"], 2)
     if spec.kind == "gaussian_noise":
-        return F.maybe_pixel(key, spec.p, F.gaussian_noise, img, kw["std"])
+        return F.maybe_pixel(key, spec.p, F.gaussian_noise, imgs, kw["std"])
     if spec.kind == "grouped_masking":
-        return F.maybe_pixel(key, spec.p, F.grouped_masking, img, kw["mask_ratio"])
+        return F.maybe_pixel(key, spec.p, F.grouped_masking, imgs, kw["mask_ratio"])
     if spec.kind == "random_erasing":
-        return F.random_erasing(img, key, spec.p, tuple(kw["scale"]),
+        return F.random_erasing(imgs, key, spec.p, tuple(kw["scale"]),
                                 tuple(kw.get("ratio", (0.3, 3.3))))
     if spec.kind == "gaussian_blur":
-        return F.maybe_pixel(key, spec.p, F.gaussian_blur3, img, tuple(kw["sigma"]))
-    if spec.kind == "elastic":
-        return F.maybe_pixel(key, spec.p, F.elastic_transform, img,
-                             kw.get("alpha", 20.0), kw.get("sigma", 3.0))
+        return F.maybe_pixel(key, spec.p, F.gaussian_blur3, imgs, tuple(kw["sigma"]))
     raise ValueError(spec.kind)
 
 
-def apply_chain(ops: Sequence[OpSpec], img: jnp.ndarray, key) -> jnp.ndarray:
-    """Apply an op chain to one (H, W) image: geometric runs are composed into single
-    gathers, pixel ops execute in chain order."""
-    hw = img.shape
+def apply_chain(ops: Sequence[OpSpec], imgs: jnp.ndarray, key) -> jnp.ndarray:
+    """Apply an op chain to a BATCH (N, H, W): consecutive geometric ops compose into
+    one resample per segment (batched matmuls when the segment is statically
+    axis-aligned — every audio chain — else one batched gather), pixel ops run
+    batched in chain order."""
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+    n, h, w = imgs.shape
     keys = jax.random.split(key, max(len(ops), 1))
     pending = None
+    pending_rot = False
     for spec, k in zip(ops, keys):
         if spec.kind in GEOMETRIC:
             k_gate, k_op = jax.random.split(k)
-            m = _matrix_for(spec, k_op, hw)
-            if spec.p < 1.0:
-                m = jnp.where(jax.random.bernoulli(k_gate, spec.p), m, F.IDENTITY)
-            pending = m if pending is None else pending @ m
+            m = F.maybe_mat(k_gate, spec.p, _matrices_for(spec, k_op, n, (h, w)))
+            pending = m if pending is None else jnp.einsum("nij,njk->nik", pending, m)
+            pending_rot = pending_rot or _op_has_rotation(spec)
+        elif spec.kind == "elastic":
+            # Fuse the elastic warp into the pending affine: one gather with
+            # coords M @ (p + d(p)) — nested gathers blow up XLA compile time.
+            disp = F.elastic_displacement(k, imgs.shape, spec.kw.get("alpha", 20.0),
+                                          spec.kw.get("sigma", 3.0), spec.p)
+            mats = pending if pending is not None else jnp.broadcast_to(
+                F.IDENTITY, (n, 3, 3))
+            imgs = F.batched_affine_gather(imgs, mats, displacement=disp)
+            pending, pending_rot = None, False
         else:
             if pending is not None:
-                img = F.affine_bilinear(img, pending)
-                pending = None
-            img = _apply_pixel(spec, img, k)
+                imgs = F.apply_affine_batch(imgs, pending, pending_rot)
+                pending, pending_rot = None, False
+            imgs = _apply_pixel(spec, imgs, k)
     if pending is not None:
-        img = F.affine_bilinear(img, pending)
-    return img
+        imgs = F.apply_affine_batch(imgs, pending, pending_rot)
+    return imgs[0] if single else imgs
 
 
 # --------------------------- default DINO chains (get_data.py:122-192) ---------------------------
@@ -182,16 +199,18 @@ class MultiCropAugment:
         return cls(**kwargs)
 
     def __call__(self, images: jnp.ndarray, audios: jnp.ndarray, key) -> Tuple[jnp.ndarray, ...]:
-        """images (B,28,28) or (B,28,28,1); audios (B,112,112[,1]); normalized floats."""
+        """images (B,28,28) or (B,28,28,1); audios (B,112,112[,1]); normalized floats.
+
+        Each view bank runs as ONE batched chain over (n_views*B) images — views are
+        folded into the batch axis end to end."""
         images = images.reshape(images.shape[0], 28, 28)
         audios = audios.reshape(audios.shape[0], 112, 112)
         b = images.shape[0]
 
         def bank(ops, x, k, n):
-            ks = jax.random.split(k, n * b).reshape(n, b)
-            chain = lambda im, kk: apply_chain(ops, im, kk)
-            views = [jax.vmap(chain)(x, ks[v]) for v in range(n)]
-            return jnp.stack(views, axis=1)[..., None]  # (B, n, H, W, 1)
+            tiled = jnp.tile(x, (n, 1, 1))               # (n*B, H, W)
+            out = apply_chain(ops, tiled, k)
+            return out.reshape(n, b, *x.shape[1:]).swapaxes(0, 1)[..., None]
 
         k_gi, k_ga, k_li, k_la = jax.random.split(key, 4)
         return (

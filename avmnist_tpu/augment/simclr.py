@@ -51,14 +51,11 @@ class SimCLRAugment:
         audios = audios.reshape(audios.shape[0], 112, 112)
         b = images.shape[0]
 
-        def bank(ops, x, k):
-            ks = jax.random.split(k, b)
-            return jax.vmap(lambda im, kk: apply_chain(ops, im, kk))(x, ks)[..., None]
+        def two_views(ops, x, k):
+            out = apply_chain(ops, jnp.tile(x, (2, 1, 1)), k)
+            return out[:b][..., None], out[b:][..., None]
 
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        return (
-            bank(self.image_ops, images, k1),
-            bank(self.audio_ops, audios, k3),
-            bank(self.image_ops, images, k2),
-            bank(self.audio_ops, audios, k4),
-        )
+        k_img, k_aud = jax.random.split(key)
+        i1, i2 = two_views(self.image_ops, images, k_img)
+        a1, a2 = two_views(self.audio_ops, audios, k_aud)
+        return i1, a1, i2, a2

