@@ -57,14 +57,20 @@ def _rot_mat(theta, cx, cy) -> Array:
     )
 
 
-def maybe_mat(key, p: float, mat: Array) -> Array:
-    """RandomApply for a (batched) matrix op: identity with prob 1-p, per sample."""
+def _gate(key, p: float, n: int) -> Optional[Array]:
+    """Per-sample RandomApply gate; None when p == 1 (always applied).
+
+    NOTE: RandomApply on geometric ops is implemented by gating the op's PARAMETERS
+    to neutral values (scale 1 / shift 0 / angle 0), NOT by selecting between the op
+    matrix and a constant identity matrix — XLA:TPU constant-folds gathers through
+    constant affine matrices pathologically slowly (100x compile blowup)."""
     if p >= 1.0:
-        return mat
-    gate = jax.random.bernoulli(key, p, (mat.shape[0],)) if mat.ndim == 3 \
-        else jax.random.bernoulli(key, p)
-    return jnp.where(gate[..., None, None] if mat.ndim == 3 else gate, mat,
-                     IDENTITY)
+        return None
+    return jax.random.bernoulli(key, p, (n,))
+
+
+def _where_gate(gate: Optional[Array], on: Array, off) -> Array:
+    return on if gate is None else jnp.where(gate, on, off)
 
 
 def _interp_matrix(coords: Array, n_in: int) -> Array:
@@ -145,27 +151,33 @@ def apply_affine_batch(imgs: Array, mats: Array, has_rotation: bool) -> Array:
 def random_resized_crop_mats(
     key, n: int, in_hw: Tuple[int, int], out_hw: Tuple[int, int],
     scale: Tuple[float, float], ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    p: float = 1.0,
 ) -> Array:
-    """torchvision RandomResizedCrop box sampling (single-shot, clamped — torchvision
-    retries 10x then center-crops; the clamp keeps the same support). Returns (N,3,3)."""
+    """torchvision RandomResizedCrop box sampling (single-shot, clamped -- torchvision
+    retries 10x then center-crops; the clamp keeps the same support). Returns (N,3,3).
+    RandomApply(p) gates the sampled box back to the full image."""
     H, W = in_hw
     oh, ow = out_hw
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+    gate = _gate(k0, p, n)
     area = H * W * jax.random.uniform(k1, (n,), minval=scale[0], maxval=scale[1])
     r = jnp.exp(jax.random.uniform(k2, (n,), minval=jnp.log(ratio[0]),
                                    maxval=jnp.log(ratio[1])))
-    w = jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, W)
-    h = jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, H)
-    top = jax.random.uniform(k3, (n,)) * (H - h)
-    left = jax.random.uniform(k4, (n,)) * (W - w)
+    w = _where_gate(gate, jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, W), float(W))
+    h = _where_gate(gate, jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, H), float(H))
+    top = _where_gate(gate, jax.random.uniform(k3, (n,)) * (H - h), 0.0)
+    left = _where_gate(gate, jax.random.uniform(k4, (n,)) * (W - w), 0.0)
     sx = w / ow
     sy = h / oh
     return jax.vmap(_mat)(sx, sy, left + 0.5 * sx - 0.5, top + 0.5 * sy - 0.5)
 
 
-def random_rotation_mats(key, n: int, degrees: float, hw: Tuple[int, int]) -> Array:
+def random_rotation_mats(key, n: int, degrees: float, hw: Tuple[int, int],
+                         p: float = 1.0) -> Array:
     H, W = hw
-    theta = jax.random.uniform(key, (n,), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
+    k0, k1 = jax.random.split(key)
+    theta = jax.random.uniform(k1, (n,), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
+    theta = _where_gate(_gate(k0, p, n), theta, 0.0)
     return jax.vmap(lambda t: _rot_mat(t, (W - 1) / 2.0, (H - 1) / 2.0))(theta)
 
 
@@ -174,28 +186,37 @@ def random_affine_mats(
     translate: Tuple[float, float] = (0.0, 0.0),
     scale: Optional[Tuple[float, float]] = None,
     degrees: float = 0.0,
+    p: float = 1.0,
 ) -> Array:
     """torchvision RandomAffine (translate fractions, uniform scale, optional rotation)."""
     H, W = hw
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+    gate = _gate(k0, p, n)
     tx = jax.random.uniform(k1, (n,), minval=-translate[0], maxval=translate[0]) * W
     ty = jax.random.uniform(k2, (n,), minval=-translate[1], maxval=translate[1]) * H
     s = (jax.random.uniform(k3, (n,), minval=scale[0], maxval=scale[1])
          if scale is not None else jnp.ones((n,)))
+    tx = _where_gate(gate, tx, 0.0)
+    ty = _where_gate(gate, ty, 0.0)
+    s = _where_gate(gate, s, 1.0)
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
     # inverse of (scale about center, then translate): in = (out - t - c)/s + c
     m = jax.vmap(_mat)(1.0 / s, 1.0 / s, cx - (cx + tx) / s, cy - (cy + ty) / s)
     if degrees:
-        m = jnp.einsum("nij,njk->nik", m, random_rotation_mats(k4, n, degrees, hw))
+        m = jnp.einsum("nij,njk->nik", m,
+                       random_rotation_mats(k4, n, degrees, hw, p))
     return m
 
 
-def time_warp_mats(key, n: int, min_factor: float, max_factor: float) -> Array:
+def time_warp_mats(key, n: int, min_factor: float, max_factor: float,
+                   p: float = 1.0) -> Array:
     """TimeWarpWithStretch (get_data.py:29-58): torchaudio TimeStretch on a zero-phase
     complex spectrogram + abs + pad/trim. On zero-phase input the vocoder magnitude
     reduces to linear interpolation of columns at positions t*rate, so the exact
     fixed-shape equivalent is an x-scale about the origin with zero fill."""
-    rate = jax.random.uniform(key, (n,), minval=min_factor, maxval=max_factor)
+    k0, k1 = jax.random.split(key)
+    rate = jax.random.uniform(k1, (n,), minval=min_factor, maxval=max_factor)
+    rate = _where_gate(_gate(k0, p, n), rate, 1.0)
     zeros = jnp.zeros((n,))
     return jax.vmap(_mat)(rate, jnp.ones((n,)), zeros, zeros)
 

@@ -46,18 +46,22 @@ def op(kind: str, p: float = 1.0, **params) -> OpSpec:
 
 
 def _matrices_for(spec: OpSpec, key, n: int, hw) -> jnp.ndarray:
+    """Batched (N,3,3) inverse maps. RandomApply(spec.p) is folded into the parameter
+    sampling (neutral params when gated off) — never a select against a constant
+    identity matrix, which XLA:TPU const-folds pathologically."""
     kw = spec.kw
     if spec.kind == "random_resized_crop":
         m = F.random_resized_crop_mats(key, n, hw, hw, tuple(kw["scale"]),
-                                       tuple(kw.get("ratio", (0.75, 4.0 / 3.0))))
+                                       tuple(kw.get("ratio", (0.75, 4.0 / 3.0))),
+                                       p=spec.p)
     elif spec.kind == "random_rotation":
-        m = F.random_rotation_mats(key, n, kw["degrees"], hw)
+        m = F.random_rotation_mats(key, n, kw["degrees"], hw, p=spec.p)
     elif spec.kind == "random_affine":
         m = F.random_affine_mats(key, n, hw, tuple(kw.get("translate", (0.0, 0.0))),
                                  tuple(kw["scale"]) if kw.get("scale") else None,
-                                 kw.get("degrees", 0.0))
+                                 kw.get("degrees", 0.0), p=spec.p)
     elif spec.kind == "time_warp":
-        m = F.time_warp_mats(key, n, kw["min_factor"], kw["max_factor"])
+        m = F.time_warp_mats(key, n, kw["min_factor"], kw["max_factor"], p=spec.p)
     else:
         raise ValueError(spec.kind)
     return m
@@ -95,8 +99,7 @@ def apply_chain(ops: Sequence[OpSpec], imgs: jnp.ndarray, key) -> jnp.ndarray:
     pending_rot = False
     for spec, k in zip(ops, keys):
         if spec.kind in GEOMETRIC:
-            k_gate, k_op = jax.random.split(k)
-            m = F.maybe_mat(k_gate, spec.p, _matrices_for(spec, k_op, n, (h, w)))
+            m = _matrices_for(spec, k, n, (h, w))
             pending = m if pending is None else jnp.einsum("nij,njk->nik", pending, m)
             pending_rot = pending_rot or _op_has_rotation(spec)
         elif spec.kind == "elastic":

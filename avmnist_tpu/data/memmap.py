@@ -61,10 +61,13 @@ class AVMNISTArrays:
         Images are converted to float32 (still 0..255-scaled when the source is the
         MultiBench float64 npy, which stores 0..255 values); audio stays uint8 to keep
         host->device transfer at 1 byte/px — normalization happens on device.
+        Uses the native C gather kernels (data/fastloader.py) when built.
         """
+        from avmnist_tpu.data.fastloader import gather_rows
+
         return {
-            "image": np.ascontiguousarray(self.image[idx], dtype=np.float32),
-            "audio": np.ascontiguousarray(self.audio[idx]),
+            "image": gather_rows(self.image, idx, np.float32),
+            "audio": gather_rows(self.audio, idx, np.uint8),
             "label": np.ascontiguousarray(self.labels[idx], dtype=np.int32),
         }
 

@@ -40,41 +40,24 @@ def extract_features(feature_fn: Callable, batches: Iterable[Dict]) -> Tuple[np.
     return np.concatenate(feats), np.concatenate(labels)
 
 
-def train_linear_probe(
-    train_feats: np.ndarray,
-    train_labels: np.ndarray,
-    val_feats: np.ndarray,
-    val_labels: np.ndarray,
-    num_classes: int = 10,
-    epochs: int = 1,
-    batch_size: int = 128,
-    learning_rate: float = 1e-4,
-    seed: int = 0,
-    hidden_dim: int = 128,
-    select_feats: Optional[np.ndarray] = None,
-    select_labels: Optional[np.ndarray] = None,
-) -> Dict:
-    """MLP probe on cached features. Returns accuracy (%) + preds/probs.
-
-    With ``select_feats/labels`` given, tracks per-epoch accuracy on that split and
-    restores the best epoch's params before final evaluation — matching
-    train_downstream's best-val-acc checkpoint selection (dino_train.py:274-314)."""
-    d = train_feats.shape[1]
+@functools.lru_cache(maxsize=64)
+def _probe_programs(d: int, hidden_dim: int, num_classes: int, batch_size: int,
+                    steps_per_epoch: int, learning_rate: float, epochs: int):
+    """Cached jitted (init, train_epoch, predict) for a probe configuration — the
+    probe runs every epoch of every experiment, so recompiling per call would
+    dominate wall-clock."""
     model = MLPHead(hidden_dim=hidden_dim, num_classes=num_classes)
-    rng = jax.random.key(seed)
-    params = model.init(rng, jnp.zeros((1, d)))["params"]
-    n = len(train_feats)
-    steps_per_epoch = max(n // batch_size, 1)
     schedule = optax.cosine_decay_schedule(learning_rate, max(epochs, 1))
     # torch CosineAnnealingLR(T_max=epochs) stepped per epoch
     tx = torch_adamw(lambda step: schedule(step // steps_per_epoch), weight_decay=0.01)
-    opt_state = tx.init(params)
-
-    xf = jnp.asarray(train_feats)
-    yf = jnp.asarray(train_labels)
 
     @jax.jit
-    def train_epoch(params, opt_state, perm):
+    def init(rng):
+        params = model.init(rng, jnp.zeros((1, d)))["params"]
+        return params, tx.init(params)
+
+    @jax.jit
+    def train_epoch(params, opt_state, perm, xf, yf):
         def body(carry, idx):
             params, opt_state = carry
             xb, yb = xf[idx], yf[idx]
@@ -96,12 +79,44 @@ def train_linear_probe(
     def predict(params, x):
         return model.apply({"params": params}, x)
 
+    return init, train_epoch, predict
+
+
+def train_linear_probe(
+    train_feats: np.ndarray,
+    train_labels: np.ndarray,
+    val_feats: np.ndarray,
+    val_labels: np.ndarray,
+    num_classes: int = 10,
+    epochs: int = 1,
+    batch_size: int = 128,
+    learning_rate: float = 1e-4,
+    seed: int = 0,
+    hidden_dim: int = 128,
+    select_feats: Optional[np.ndarray] = None,
+    select_labels: Optional[np.ndarray] = None,
+) -> Dict:
+    """MLP probe on cached features. Returns accuracy (%) + preds/probs.
+
+    With ``select_feats/labels`` given, tracks per-epoch accuracy on that split and
+    restores the best epoch's params before final evaluation — matching
+    train_downstream's best-val-acc checkpoint selection (dino_train.py:274-314)."""
+    d = train_feats.shape[1]
+    n = len(train_feats)
+    steps_per_epoch = max(n // batch_size, 1)
+    init, train_epoch, predict = _probe_programs(
+        d, hidden_dim, num_classes, batch_size, steps_per_epoch,
+        float(learning_rate), epochs)
+    params, opt_state = init(jax.random.key(seed))
+    xf = jnp.asarray(train_feats)
+    yf = jnp.asarray(train_labels)
+
     probe_rng = np.random.default_rng(seed)
     train_loss = np.nan
     best_acc, best_params = -1.0, params
     for _ in range(epochs):
         perm = jnp.asarray(probe_rng.permutation(n))
-        params, opt_state, train_loss = train_epoch(params, opt_state, perm)
+        params, opt_state, train_loss = train_epoch(params, opt_state, perm, xf, yf)
         if select_feats is not None:
             sel = np.asarray(jax.device_get(
                 predict(params, jnp.asarray(select_feats)))).argmax(-1)

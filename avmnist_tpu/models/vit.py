@@ -122,3 +122,33 @@ def AudioViTEncoder(patch_size: int = 8, embed_dim: int = 192, depth: int = 4,
     """Audio variant (dino_vit.py:122-177): identical architecture, patch 8 on 112x112."""
     return ViTEncoder(patch_size=patch_size, embed_dim=embed_dim, depth=depth,
                       num_heads=num_heads, mlp_ratio=mlp_ratio, dropout=dropout)
+
+
+class LegacyMultiModalViTEncoder(nn.Module):
+    """Self-contained legacy dual-ViT encoder (dino_vit.py:179-215): fixed 192-dim
+    image (patch 4) + audio (patch 8) ViTs, concat, 384 -> 512 GELU -> out fusion.
+    Superseded by DualViTMultiModalEncoder in the live drivers; kept for parity with
+    the legacy MultiModalViTDINO stack (whose DINO wrapper is subsumed by
+    objectives.dino.make_dino_objective)."""
+
+    output_dim: int = 256
+    modality = None
+
+    def setup(self):
+        self.image_encoder = ViTEncoder(patch_size=4, embed_dim=192, depth=4,
+                                        num_heads=3)
+        self.audio_encoder = ViTEncoder(patch_size=8, embed_dim=192, depth=4,
+                                        num_heads=3)
+        self.fusion_hidden = Dense(512)
+        self.fusion_out = Dense(self.output_dim)
+
+    def encode_image(self, images, train: bool = True):
+        return self.image_encoder(images, train=train)
+
+    def encode_audio(self, spectrograms, train: bool = True):
+        return self.audio_encoder(spectrograms, train=train)
+
+    def __call__(self, images, spectrograms, train: bool = True):
+        f = jnp.concatenate([self.image_encoder(images, train=train),
+                             self.audio_encoder(spectrograms, train=train)], axis=1)
+        return self.fusion_out(nn.gelu(self.fusion_hidden(f)))
