@@ -142,15 +142,44 @@ def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
                           batch_stats=variables.get("batch_stats", {}),
                           opt_state=tx.init(variables["params"]))
 
-    def apply_net(params, stats, rng, method, *args, train=True):
+    def _embed(params, stats, rng, x, image: bool, train=True):
+        method = "embed_image" if image else "embed_audio"
         variables = {"params": cast_tree(params, cfg.compute_dtype),
                      "batch_stats": cast_tree(stats, cfg.compute_dtype)}
-        args = tuple(a.astype(cfg.compute_dtype) if hasattr(a, "astype")
-                     and jnp.issubdtype(a.dtype, jnp.floating) else a for a in args)
-        out, upd = net.apply(variables, *args, train=train, rngs={"dropout": rng},
-                             mutable=["batch_stats"], method=method)
-        return (jax.tree.map(lambda x: x.astype(jnp.float32), out),
-                cast_tree(upd["batch_stats"], jnp.float32))
+        z, upd = net.apply(variables, x.astype(cfg.compute_dtype), train=train,
+                           rngs={"dropout": rng}, mutable=["batch_stats"],
+                           method=method)
+        return z.astype(jnp.float32), cast_tree(upd["batch_stats"], jnp.float32)
+
+    def _make_branch(v1_image: bool, v2_image: bool):
+        """One per-mode training step (multimodal_simclr.py:31-46). Only the two
+        encoders the mode selects are executed — matching the reference's compute —
+        and lax.switch over WHOLE steps keeps flax's mutable collections out of the
+        branch boundary."""
+
+        def branch(operands):
+            state, img1, aud1, img2, aud2, k_net = operands
+            k1, k2 = jax.random.split(k_net)
+
+            def loss_fn(params):
+                z1, stats = _embed(params, state.batch_stats, k1,
+                                   img1 if v1_image else aud1, v1_image)
+                z2, stats = _embed(params, stats, k2,
+                                   img2 if v2_image else aud2, v2_image)
+                return nt_xent_loss(z1, z2, cfg.temperature), stats
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 batch_stats=new_stats, opt_state=opt_state), loss
+
+        return branch
+
+    # mode order: 0 img-img, 1 aud-aud, 2 img-aud, 3 aud-img
+    _branches = [_make_branch(True, True), _make_branch(False, False),
+                 _make_branch(True, False), _make_branch(False, True)]
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
@@ -158,19 +187,13 @@ def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
         img1, aud1, img2, aud2 = augment(images[..., 0], audios[..., 0], k_aug)
-        mode = (jnp.ones((), jnp.int32) if cfg.audio_only
-                else jax.random.randint(k_mode, (), 0, 4))
-
-        def loss_fn(params):
-            (z1, z2), new_stats = apply_net(params, state.batch_stats, k_net,
-                                            None, img1, aud1, img2, aud2, mode)
-            return nt_xent_loss(z1, z2, cfg.temperature), new_stats
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=params,
-                                  batch_stats=new_stats, opt_state=opt_state)
+        operands = (state, img1, aud1, img2, aud2, k_net)
+        if cfg.audio_only:
+            mode = jnp.ones((), jnp.int32)
+            new_state, loss = _branches[1](operands)
+        else:
+            mode = jax.random.randint(k_mode, (), 0, 4)
+            new_state, loss = jax.lax.switch(mode, _branches, operands)
         return new_state, {"train_loss": loss, "mode": mode.astype(jnp.float32)}
 
     def _feature(method):
