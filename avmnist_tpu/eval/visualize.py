@@ -168,6 +168,110 @@ def plot_loss(metrics_df, plot_dir: str, metric: str = "train_loss") -> Optional
     return path
 
 
+def sample_grid(images: np.ndarray, labels: np.ndarray, n: int = 16,
+                dirpath: str = "plots", name: str = "samples") -> Optional[str]:
+    """Grid of input samples with labels (visualisations.py:20-145 sample grids)."""
+    try:
+        plt = _plt()
+    except Exception:  # pragma: no cover
+        return None
+    os.makedirs(dirpath, exist_ok=True)
+    n = min(n, len(images))
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    for i, ax in enumerate(np.atleast_1d(axes).ravel()):
+        ax.axis("off")
+        if i < n:
+            ax.imshow(np.squeeze(images[i]), cmap="gray")
+            ax.set_title(str(labels[i]), fontsize=8)
+    path = os.path.join(dirpath, f"{name}.png")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def roc_auprc_plot(labels: np.ndarray, probs: np.ndarray, num_classes: int = 10,
+                   dirpath: str = "plots", name: str = "roc_auprc") -> Optional[str]:
+    """Per-class ROC + macro AUPRC figure (visualisations.py:147-183 / utils/AUPRC.py)."""
+    try:
+        from sklearn.metrics import average_precision_score, roc_curve
+
+        plt = _plt()
+    except Exception:  # pragma: no cover
+        return None
+    os.makedirs(dirpath, exist_ok=True)
+    onehot = np.eye(num_classes)[labels.astype(int)]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for c in range(num_classes):
+        if onehot[:, c].sum() == 0:
+            continue
+        fpr, tpr, _ = roc_curve(onehot[:, c], probs[:, c])
+        ax.plot(fpr, tpr, lw=1, alpha=0.7, label=str(c))
+    auprc = average_precision_score(onehot, probs)
+    ax.plot([0, 1], [0, 1], "k--", lw=0.5)
+    ax.set_xlabel("FPR")
+    ax.set_ylabel("TPR")
+    ax.set_title(f"per-class ROC (macro AUPRC={auprc:.3f})")
+    ax.legend(fontsize=6, ncol=2)
+    path = os.path.join(dirpath, f"{name}.png")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def convergence_analysis(metrics_df, metric: str = "train_loss",
+                         tail_frac: float = 0.2) -> Optional[Dict]:
+    """Per-version convergence/stability stats (plots_trials.py:100-439 analyses):
+    final value, best value, tail mean/std (stability), epochs-to-90%-of-final."""
+    if metrics_df is None or metric not in getattr(metrics_df, "columns", []):
+        return None
+    out = {}
+    for version, grp in metrics_df.groupby("version"):
+        vals = grp.dropna(subset=[metric])[metric].to_numpy()
+        if len(vals) == 0:
+            continue
+        tail = vals[int(len(vals) * (1 - tail_frac)):]
+        target = vals[-1] + 0.1 * abs(vals[0] - vals[-1])
+        reached = np.nonzero(vals <= target)[0] if vals[0] > vals[-1] else \
+            np.nonzero(vals >= target)[0]
+        out[str(version)] = {
+            "final": float(vals[-1]),
+            "best": float(vals.min() if vals[0] > vals[-1] else vals.max()),
+            "tail_mean": float(tail.mean()),
+            "tail_std": float(tail.std()),
+            "epochs_to_90pct": int(reached[0]) if len(reached) else len(vals),
+        }
+    return out
+
+
+def plot_study_trials(trials, plots_path: str) -> Optional[str]:
+    """Search-study value plot (create_plots_for_study analog, plots_trials.py:426-439;
+    works on optuna studies or the fallback StudyResult trial dicts)."""
+    try:
+        plt = _plt()
+    except Exception:  # pragma: no cover
+        return None
+    if hasattr(trials, "trials"):
+        trials = [{"number": getattr(t, "number", i),
+                   "value": (t.get("value") if isinstance(t, dict)
+                             else getattr(t, "value", None))}
+                  for i, t in enumerate(trials.trials)]
+    values = [(t["number"], t["value"]) for t in trials
+              if t.get("value") == t.get("value") and t.get("value") is not None]
+    if not values:
+        return None
+    os.makedirs(plots_path, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot([n for n, _ in values], [v for _, v in values], "o-")
+    ax.set_xlabel("trial")
+    ax.set_ylabel("objective value")
+    path = os.path.join(plots_path, "study_trials.png")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def visualize_train_results(features, labels, preds, probs, log_path: str,
                             model_dir_data: str, seed: int = 1) -> List[str]:
     """The full post-training plot bundle (run_dino.py:503-526)."""

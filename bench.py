@@ -1,9 +1,10 @@
 """Benchmark: SSL pretraining throughput (pairs/sec) on the available accelerator.
 
-Workload: multimodal SimCLR training step — the workload behind BASELINE.md's derived
-~2700 pairs/sec single-GPU reference (small SimCLR models, 1.7h / 100 epochs x 3 seeds
-x 55k pairs) — INCLUDING the two-view augmentation bank, which the reference runs on
-CPU workers and we run fused on device.
+Workload: audio SimCLR training step (NT-Xent over two augmented spectrogram views)
+— the workload behind BASELINE.md's derived ~2700 pairs/sec single-GPU reference
+(small SimCLR models, 1.77h / 100 epochs x 3 seeds x 55k pairs) — INCLUDING the
+two-view augmentation bank, which the reference runs on CPU workers and we run fused
+on device.
 
 Measurement: N_STEPS training steps inside ONE jitted lax.scan, timed end to end with
 a value fetch — a single host<->device round trip, so remote-tunnel dispatch latency
@@ -34,7 +35,8 @@ def main():
     from avmnist_tpu.data.synthetic import make_synthetic_avmnist
     from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
 
-    cfg = SimCLRConfig(output_dim=256, projection_dim=256, learning_rate=1e-4)
+    cfg = SimCLRConfig(audio_only=True, output_dim=256, projection_dim=128,
+                       learning_rate=1e-4)
     objective = make_simclr_objective(cfg)
     state = objective.init_fn(jax.random.key(0))
 
@@ -63,7 +65,7 @@ def main():
 
     pairs_per_sec = N_STEPS * BATCH / dt
     print(json.dumps({
-        "metric": "simclr_pretrain_pairs_per_sec",
+        "metric": "audio_simclr_pretrain_pairs_per_sec",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
