@@ -1,0 +1,2 @@
+from avmnist_tpu.ops.pallas_specgram import psd_specgram_pallas  # noqa: F401
+from avmnist_tpu.ops.pallas_ntxent import nt_xent_logits_pallas  # noqa: F401
