@@ -119,8 +119,8 @@ def main(argv=None):
     if args.synthetic_data:
         from avmnist_tpu.data.datasets import split_train_val
 
-        train, test = make_synthetic_avmnist(n_train=512, n_test=128, seed=0)
-        train_split, val_split = split_train_val(train, 448, 64, seed=1)
+        train, test = make_synthetic_avmnist(n_train=256, n_test=64, seed=0)
+        train_split, val_split = split_train_val(train, 224, 32, seed=1)
     else:
         train_split, val_split, test = load_experiment_data(config)
 

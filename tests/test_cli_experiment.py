@@ -14,10 +14,10 @@ def test_run_dino_cli_end_to_end(tmp_path, monkeypatch):
         "data": {"data_dir": "unused"},
         "experiment": {"seed": 1, "seeds": [1]},
         "hyperparameters": {
-            "batch_size": 32, "learning_rate": 1e-3, "num_epochs": 2,
+            "batch_size": 16, "learning_rate": 1e-3, "num_epochs": 1,
             "projection_dim": 16, "output_dim": 32, "encoder_output_dim": 32,
-            "momentum": 0.996, "center_momentum": 0.9, "n_global_views": 2,
-            "n_local_views": 2, "student_temperature": 0.1,
+            "momentum": 0.996, "center_momentum": 0.9, "n_global_views": 1,
+            "n_local_views": 1, "student_temperature": 0.1,
             "teacher_temperature": 0.04, "weight_decay": 1e-6,
             "cosine_loss_alpha": 0, "dropout": 0.3, "metric": "mlp_acc",
         },
