@@ -191,8 +191,9 @@ def main(argv=None):
 
     objective = make_objective()
     augment_dump = objective.meta["augment"].describe()
+    extra = dict(results[-1].gates or {})  # learned gates from the last seed
     row = summarize_experiment(results, config, model_dir_data, model_name,
-                               augment_dump=augment_dump)
+                               extra_summary=extra, augment_dump=augment_dump)
     print(f"kNN Accuracy: {row['downstream_knn_accuracy']:.2f} "
           f"± {row['downstream_knn_accuracy_std']:.2f}")
     print(f"MLP Accuracy: {row['downstream_mlp_acc']:.2f} "

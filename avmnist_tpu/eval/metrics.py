@@ -71,6 +71,20 @@ def write_prediction_csv(path: str, labels: np.ndarray, preds: np.ndarray,
     return path
 
 
+def load_results_from_csv(csv_file: str):
+    """Read a per-sample prediction CSV back into (labels, probs) — the reference's
+    loader for its own artifact format (get_data.py:833-840)."""
+    import ast
+
+    labels, probs = [], []
+    with open(csv_file) as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            labels.append(int(row["true_label"]))
+            probs.append(ast.literal_eval(row["probabilities"]))
+    return np.asarray(labels), np.asarray(probs)
+
+
 def summarize_seeds(results: Dict[str, Sequence[float]]) -> Dict[str, str]:
     """mean ± std strings for the performance_summary.txt writers."""
     return {

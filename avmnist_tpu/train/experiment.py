@@ -116,6 +116,20 @@ class SeedResult:
     mlp_acc: float
     history: List[Dict]
     training_time: float
+    gates: Optional[Dict[str, float]] = None  # learned modality gates, if present
+
+
+def extract_gates(state) -> Optional[Dict[str, float]]:
+    """Final sigmoid-gate scalars from gated encoders (run_dino.py:454-465 writes
+    final_audio_gate/final_image_gate into performance_summary.txt)."""
+    try:
+        enc = state.params.get("encoder", {})
+        if "gate_image" in enc:
+            return {"final_image_gate": float(np.asarray(enc["gate_image"])),
+                    "final_audio_gate": float(np.asarray(enc["gate_audio"]))}
+    except Exception:
+        pass
+    return None
 
 
 def run_seeds(
@@ -174,7 +188,8 @@ def run_seeds(
             downstream_lr=1e-3, seed=seed,
             out_dir=os.path.join(model_dir_scratch, "downstream"),
             model_name=f"{model_name}_seed{seed}", feature_fn=feature_fn)
-        results.append(SeedResult(seed, knn_acc, mlp_acc, history, training_time))
+        results.append(SeedResult(seed, knn_acc, mlp_acc, history, training_time,
+                                  gates=extract_gates(state)))
     return results
 
 

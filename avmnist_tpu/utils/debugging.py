@@ -78,6 +78,18 @@ def weight_stats(params) -> Dict[str, Dict[str, float]]:
     return out
 
 
+def student_teacher_kl(student_logits, teacher_logits,
+                       student_temp: float = 0.1, teacher_temp: float = 0.04) -> float:
+    """KL(teacher || student) over projection distributions — the collapse analysis
+    from the reference's analyze_model.ipynb (entropy + KL between student/teacher
+    projections; SURVEY.md §4 sanity-check notebooks)."""
+    t = jax.nn.softmax(teacher_logits / teacher_temp, axis=-1)
+    s = jax.nn.log_softmax(student_logits / student_temp, axis=-1)
+    n = min(t.shape[0], s.shape[0])
+    kl = jnp.sum(t[:n] * (jnp.log(t[:n] + 1e-10) - s[:n]), axis=-1)
+    return float(jax.device_get(jnp.mean(kl)))
+
+
 def student_teacher_similarity(student_projs, teacher_projs) -> float:
     """Mean cosine similarity between matched student/teacher projections
     (collapse detector, reference debugging.py:166-243)."""
