@@ -165,6 +165,10 @@ class DinoConfig:
     audio_mean: float = 0.0
     audio_std: float = 1.0
     use_center: bool = True            # False = UniModalDINOV2 (dino.py:1400-1489)
+    per_view_bn: bool = False          # True = BatchNorm batch stats PER VIEW (exact
+    # reference semantics: the torch loop normalizes each view separately,
+    # dino.py:679-706). Default False normalizes over the folded [views*B] batch —
+    # faster (one fused forward) but global+local crop statistics mix in BN.
     compute_dtype: Any = jnp.bfloat16
     # reference-faithful switches (SURVEY.md §7 hard-part 5)
     l2_normalize_before_softmax: bool = True
@@ -246,11 +250,29 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
         s_auds = jnp.concatenate([fold(ga), fold(la)])
         t_imgs, t_auds = fold(gi), fold(ga)
 
+        def apply_views(net_, params_, stats_, imgs_, auds_, key_, n_views):
+            """Forward over folded views; with per_view_bn, vmap per view so BN batch
+            statistics are computed per view (exact reference semantics,
+            dino.py:679-706; running stats merged by mean across views)."""
+            if not cfg.per_view_bn:
+                return apply_net(net_, params_, stats_, imgs_, auds_, key_, train=True)
+            imgs_v = imgs_.reshape(n_views, b, *imgs_.shape[1:])
+            auds_v = auds_.reshape(n_views, b, *auds_.shape[1:])
+            keys = jax.random.split(key_, n_views)
+
+            def one(im, au, kk):
+                return apply_net(net_, params_, stats_, im, au, kk, train=True)
+
+            (projs_v, feats_v), stats_v = jax.vmap(one)(imgs_v, auds_v, keys)
+            merged = jax.tree.map(lambda x: x.mean(0), stats_v)
+            return (projs_v.reshape(n_views * b, -1),
+                    feats_v.reshape(n_views * b, -1)), merged
+
         # Teacher pass (outside grad; train-mode BN like the reference, whose teacher
         # modules stay in train() — SURVEY.md §7 hard-part 4).
-        (t_projs, _), t_stats = apply_net(teacher, state.teacher_params,
-                                          state.teacher_batch_stats,
-                                          t_imgs, t_auds, k_t, train=True)
+        (t_projs, _), t_stats = apply_views(teacher, state.teacher_params,
+                                            state.teacher_batch_stats,
+                                            t_imgs, t_auds, k_t, ng)
         t_projs = jax.lax.stop_gradient(t_projs)
         center = state.center if cfg.use_center else jnp.zeros_like(state.center)
         t_centered = (t_projs - center).reshape(ng, b, -1)
@@ -261,8 +283,8 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
             if cfg.use_center else state.center
 
         def loss_fn(params):
-            (s_projs, s_feats), new_stats = apply_net(
-                student, params, state.batch_stats, s_imgs, s_auds, k_s, train=True)
+            (s_projs, s_feats), new_stats = apply_views(
+                student, params, state.batch_stats, s_imgs, s_auds, k_s, ng + nl)
             s_out = s_projs.reshape(ng + nl, b, -1)
             d_loss, t_probs = dino_loss_fn(
                 s_out, t_centered, cfg.student_temperature, cfg.teacher_temperature,

@@ -164,6 +164,23 @@ def test_dino_ema_and_center_semantics(synthetic_arrays):
     assert float(jnp.abs(state1.center).max()) > 0.0
 
 
+def test_dino_per_view_bn(synthetic_arrays):
+    """per_view_bn=True computes BN stats per view (reference-exact); the step must
+    run and produce a different (finite) loss than the folded default."""
+    train, _ = synthetic_arrays
+    base = dict(model_name="multi_central", projection_dim=8, output_dim=16,
+                encoder_output_dim=16, n_global_views=2, n_local_views=2)
+    batch = next(iter(Batches(train, batch_size=8, shuffle=False)))
+    losses = {}
+    for pvb in (False, True):
+        obj = make_dino_objective(DinoConfig(per_view_bn=pvb, **base))
+        state = obj.init_fn(jax.random.key(0))
+        _, metrics = obj.step_fn(state, batch, jax.random.key(1))
+        losses[pvb] = float(metrics["train_loss"])
+    assert all(np.isfinite(v) for v in losses.values())
+    assert losses[False] != losses[True]  # different BN statistics
+
+
 def test_dino_on_mesh(synthetic_arrays, mesh8):
     from avmnist_tpu.parallel import shard_batch, replicate_state
 
