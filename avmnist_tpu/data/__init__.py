@@ -2,6 +2,7 @@ from avmnist_tpu.data.memmap import AVMNISTArrays, avmnist_paths, load_avmnist  
 from avmnist_tpu.data.datasets import (  # noqa: F401
     DataSplit,
     Batches,
+    host_shard,
     split_train_val,
     prefetch_to_device,
 )

@@ -38,6 +38,23 @@ class DataSplit:
         return self.arrays.gather(self.indices[pos])
 
 
+def host_shard(data, process_index: Optional[int] = None,
+               process_count: Optional[int] = None) -> "DataSplit":
+    """Per-host shard of a dataset for multi-host training (SURVEY.md §5: "input
+    pipeline: per-host sharded file reads of the same memmap .npys").
+
+    Each process reads a disjoint strided slice; combined with per-host device batches
+    under `jax.make_array_from_process_local_data`-style assembly or simple
+    data-parallel fit where every host owns 1/P of the global batch."""
+    import jax
+
+    p = process_index if process_index is not None else jax.process_index()
+    n = process_count if process_count is not None else jax.process_count()
+    base_indices = data.indices if isinstance(data, DataSplit) else np.arange(len(data))
+    arrays = data.arrays if isinstance(data, DataSplit) else data
+    return DataSplit(arrays, base_indices[p::n])
+
+
 def split_train_val(
     arrays: AVMNISTArrays,
     train_size: int = 55000,

@@ -66,6 +66,20 @@ def test_compute_audio_stats(synthetic_arrays):
     assert np.isclose(s, x.reshape(len(x), -1).std(1).mean(), atol=1e-5)
 
 
+def test_host_shard(synthetic_arrays):
+    from avmnist_tpu.data import host_shard
+
+    train, _ = synthetic_arrays
+    shards = [host_shard(train, p, 4) for p in range(4)]
+    assert sum(len(s) for s in shards) == len(train)
+    all_idx = np.concatenate([s.indices for s in shards])
+    assert len(np.unique(all_idx)) == len(train)  # disjoint cover
+    split, _ = split_train_val(train, 200, 56, seed=0)
+    sub = host_shard(split, 1, 2)
+    assert len(sub) == 100
+    assert set(sub.indices) <= set(split.indices)
+
+
 def test_prefetch_to_device(synthetic_arrays, mesh8):
     import jax
     from avmnist_tpu.parallel import batch_sharding
