@@ -97,15 +97,39 @@ def separable_resample(imgs: Array, sx, tx, sy, ty,
     return jnp.einsum("now,nvw->nov", tmp, wx)
 
 
+# Below this many output pixels the dense-einsum bilinear (MXU) is used for
+# non-separable warps; above it, the 4-tap gather. Gathers on TPU run ~10M elem/s
+# (measured: 67 ms for 2048x28x28) while the dense path is matmul-bound (<2 ms).
+_DENSE_WARP_MAX_PIXELS = 64 * 64
+
+
+def _dense_bilinear(imgs: Array, in_x: Array, in_y: Array,
+                    oh: int, ow: int) -> Array:
+    """Bilinear sample at arbitrary per-pixel source coords as two MXU contractions.
+
+    out[n,o] = sum_y hat(in_y[n,o]-y) * sum_x hat(in_x[n,o]-x) * img[n,y,x]
+    The hat weights are zero outside [0, size-1], which IS zero-fill bilinear —
+    numerically identical to the masked 4-tap gather."""
+    n, h, w = imgs.shape
+    ix = in_x.reshape(n, oh * ow)
+    iy = in_y.reshape(n, oh * ow)
+    ax = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None] - jnp.arange(w, dtype=jnp.float32)))
+    by = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None] - jnp.arange(h, dtype=jnp.float32)))
+    c = jnp.einsum("now,nhw->noh", ax, imgs)
+    return jnp.sum(by * c, axis=-1).reshape(n, oh, ow)
+
+
 def batched_affine_gather(imgs: Array, mats: Array,
                           out_hw: Optional[Tuple[int, int]] = None,
                           displacement: Optional[Tuple[Array, Array]] = None) -> Array:
-    """Batched general-affine bilinear gather with zero fill (28x28 image path).
+    """Batched general-affine bilinear resample with zero fill (rotation path).
 
     imgs (N, H, W); mats (N, 3, 3) inverse maps. ``displacement`` = optional
-    (dy, dx) elastic warp fields composed INTO the same gather (in = M @ (p + d(p)))
-    — one resample instead of nested gathers, which both matches torchvision's
-    transform order and avoids an XLA compile blowup from gather-of-gather fusion."""
+    (dy, dx) elastic warp fields composed INTO the same resample
+    (in = M @ (p + d(p))) — one pass, matching torchvision's transform order and
+    avoiding an XLA compile blowup from gather-of-gather fusion. Small images
+    (the 28x28 MNIST chains) take the dense-einsum MXU path; large ones fall back
+    to a 4-tap take_along_axis gather."""
     n, h, w = imgs.shape
     oh, ow = out_hw or (h, w)
     oy = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
@@ -118,6 +142,8 @@ def batched_affine_gather(imgs: Array, mats: Array,
             + mats[:, 0, 2, None, None])
     in_y = (mats[:, 1, 0, None, None] * ox + mats[:, 1, 1, None, None] * oy
             + mats[:, 1, 2, None, None])
+    if oh * ow <= _DENSE_WARP_MAX_PIXELS:
+        return _dense_bilinear(imgs, in_x, in_y, oh, ow)
     x0 = jnp.floor(in_x)
     y0 = jnp.floor(in_y)
     wx = in_x - x0
@@ -346,13 +372,15 @@ def elastic_displacement(key, shape: Tuple[int, int, int], alpha: float = 20.0,
 
 
 def elastic_transform(imgs: Array, key, alpha: float = 20.0, sigma: float = 3.0) -> Array:
-    """Standalone elastic warp. Coordinates are built directly (no constant identity
-    matrices — XLA constant-folds gathers through constant affine matrices
-    pathologically slowly on TPU)."""
+    """Standalone elastic warp via the dense-einsum bilinear (small images) or 4-tap
+    gather. Coordinates are built directly (never through constant identity matrices,
+    which XLA:TPU const-folds pathologically slowly)."""
     n, H, W = imgs.shape
     dy, dx = elastic_displacement(key, imgs.shape, alpha, sigma)
     ys = jax.lax.broadcasted_iota(jnp.float32, (n, H, W), 1) + dy
     xs = jax.lax.broadcasted_iota(jnp.float32, (n, H, W), 2) + dx
+    if H * W <= _DENSE_WARP_MAX_PIXELS:
+        return _dense_bilinear(imgs, xs, ys, H, W)
     x0, y0 = jnp.floor(xs), jnp.floor(ys)
     wx, wy = xs - x0, ys - y0
     flat = imgs.reshape(n, H * W)
