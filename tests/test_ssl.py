@@ -164,6 +164,28 @@ def test_dino_ema_and_center_semantics(synthetic_arrays):
     assert float(jnp.abs(state1.center).max()) > 0.0
 
 
+def test_contrastive_negatives_are_global_on_mesh(synthetic_arrays, mesh8):
+    """The InfoNCE similarity matrix must span the GLOBAL batch when the batch is
+    sharded over the data axis (all-gathered negatives over ICI): the sharded loss
+    must equal the single-device loss on the same batch."""
+    from avmnist_tpu.parallel import replicate_state, shard_batch
+
+    train, _ = synthetic_arrays
+    obj = make_infonce_objective(InfoNCEConfig(output_dim=16, projection_dim=8,
+                                               compute_dtype=jnp.float32))
+    state = obj.init_fn(jax.random.key(0))
+    batch = next(iter(Batches(train, batch_size=32, shuffle=False)))
+    _, m_local = obj.step_fn(state, batch, jax.random.key(1))
+    state_r = replicate_state(state, mesh8)
+    _, m_mesh = obj.step_fn(state_r, shard_batch(batch, mesh8), jax.random.key(1))
+    np.testing.assert_allclose(float(m_local["train_loss"]),
+                               float(m_mesh["train_loss"]), rtol=1e-4)
+    # sanity: a quarter-batch loss differs (fewer negatives -> lower CE)
+    small = {k: (v[:8] if np.ndim(v) > 0 else v) for k, v in batch.items()}
+    _, m_small = obj.step_fn(state, small, jax.random.key(1))
+    assert abs(float(m_small["train_loss"]) - float(m_local["train_loss"])) > 1e-3
+
+
 def test_dino_per_view_bn(synthetic_arrays):
     """per_view_bn=True computes BN stats per view (reference-exact); the step must
     run and produce a different (finite) loss than the folded default."""
