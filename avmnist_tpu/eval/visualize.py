@@ -245,6 +245,33 @@ def convergence_analysis(metrics_df, metric: str = "train_loss",
     return out
 
 
+def plot_metric_heatmap(metrics_df, metric: str = "train_loss",
+                        plot_dir: str = "plots") -> Optional[str]:
+    """Version x epoch heatmap of a metric (plots_trials.py heatmap analysis)."""
+    if metrics_df is None or metric not in getattr(metrics_df, "columns", []):
+        return None
+    try:
+        plt = _plt()
+    except Exception:  # pragma: no cover
+        return None
+    import pandas as pd
+
+    pivot = (metrics_df.dropna(subset=[metric])
+             .pivot_table(index="version",
+                          columns="epoch" if "epoch" in metrics_df else None,
+                          values=metric, aggfunc="mean"))
+    os.makedirs(plot_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(8, 1 + 0.4 * len(pivot)))
+    im = ax.imshow(pivot.to_numpy(), aspect="auto", cmap="viridis")
+    ax.set_yticks(range(len(pivot)), pivot.index)
+    ax.set_xlabel("epoch")
+    fig.colorbar(im, ax=ax, label=metric)
+    path = os.path.join(plot_dir, f"{metric}_heatmap.png")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_study_trials(trials, plots_path: str) -> Optional[str]:
     """Search-study value plot (create_plots_for_study analog, plots_trials.py:426-439;
     works on optuna studies or the fallback StudyResult trial dicts)."""

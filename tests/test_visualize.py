@@ -46,6 +46,7 @@ def test_versions_aggregation_and_convergence(tmp_path):
     conv = V.convergence_analysis(df)
     assert set(conv) == {"version_0", "version_1"}
     assert conv["version_0"]["final"] == pytest.approx(0.5)
+    assert V.plot_metric_heatmap(df, plot_dir=str(tmp_path)) is not None
 
 
 def test_plot_study_trials(tmp_path):
