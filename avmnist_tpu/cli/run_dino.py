@@ -95,6 +95,17 @@ def main(argv=None):
         raise ValueError("--training_mode is only compatible with --model")
 
     chosen = args.model or args.unimodal_model
+    # Reference resolves bare config names under a configs/ dir (run_dino.py:595);
+    # accept either a path or a name.
+    config_arg = args.config
+    if not os.path.exists(config_arg):
+        candidate = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "configs", config_arg)
+        if os.path.exists(candidate):
+            config_arg = candidate
+        else:
+            raise FileNotFoundError(f"config not found: {args.config}")
+    args.config = config_arg
     config = update_hardware_config(load_config(args.config))
 
     mode_suffix = f"_{args.training_mode}" if args.training_mode != "default" else ""
