@@ -43,6 +43,8 @@ def run_epoch(
     wall = time.perf_counter() - t0
     means["epoch_time"] = wall
     means["avg_batch_time"] = wall / max(n, 1)
+    # pairs/sec — the BASELINE.json primary throughput counter (SURVEY.md §5 tracing)
+    means["samples_per_sec"] = n * getattr(batches, "batch_size", 0) / max(wall, 1e-9)
     return state, means, rng
 
 
