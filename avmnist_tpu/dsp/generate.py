@@ -98,6 +98,20 @@ def generate_augmented_npy(
             wave_cache[path] = load_wav(path)
         return wave_cache[path]
 
+    # Noise files are reused round-robin across the whole dataset; pre-resampling them
+    # to the FSDD rate once turns the host hot loop (one resample_poly per SAMPLE in a
+    # naive port) into a dict lookup.
+    noise_cache: Dict[Tuple[str, int], Tuple[np.ndarray, int]] = {}
+
+    def cached_noise(path, target_sr):
+        key = (path, target_sr)
+        if key not in noise_cache:
+            from avmnist_tpu.dsp.audio_augment import resample
+
+            wave, sr = cached(path)
+            noise_cache[key] = (resample(wave, sr, target_sr), target_sr)
+        return noise_cache[key]
+
     audio_idx = [0] * 10
     max_idx = [len(audio_by_label[str(i)]) for i in range(10)]
     buckets: Dict[int, List[Tuple[int, np.ndarray]]] = defaultdict(list)
@@ -108,7 +122,7 @@ def generate_augmented_npy(
         audio_path = audio_by_label[str(val)][audio_idx[val]]
         audio_idx[val] = (audio_idx[val] + 1) % max_idx[val]
         wave, sr = cached(audio_path)
-        noise, noise_sr = cached(noise_path) if noise_path else (None, None)
+        noise, noise_sr = cached_noise(noise_path, sr) if noise_path else (None, None)
         aug, sr = augment_audio(wave, sr, aug_type, noise, noise_sr, rng)
         buckets[n_frames(len(aug))].append((i, aug))
 
