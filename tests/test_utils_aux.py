@@ -106,6 +106,26 @@ def test_reevaluate_discovery(tmp_path):
     assert found[2].endswith("final_seed2")
 
 
+def test_reevaluate_end_to_end(synthetic_arrays, tmp_path):
+    import jax
+
+    from avmnist_tpu.data import split_train_val
+    from avmnist_tpu.eval.reevaluate import evaluate_models
+    from avmnist_tpu.objectives.infonce import InfoNCEConfig, make_infonce_objective
+    from avmnist_tpu.train.checkpoint import save_checkpoint
+
+    train, test = synthetic_arrays
+    train_split, val_split = split_train_val(train, 200, 56, seed=1)
+    obj = make_infonce_objective(InfoNCEConfig(output_dim=16, projection_dim=8))
+    state = obj.init_fn(jax.random.key(0))
+    run_dir = tmp_path / "run"
+    save_checkpoint(str(run_dir / "ckpt_seed1" / "best"), state)
+    results = evaluate_models(obj, state, str(run_dir), train_split, val_split, test,
+                              downstream_epochs=2)
+    assert set(results) == {1}
+    assert np.isfinite(results[1]["knn_acc"]) and np.isfinite(results[1]["mlp_acc"])
+
+
 def test_centralnet_aux_ops():
     from avmnist_tpu.models.centralnet_aux import (
         Maxout,
