@@ -61,6 +61,11 @@ _DEFAULT = {
         "include_same_view_pairs": True,       # dino.py:843-847
         "unimodal_double_centering": True,     # dino.py:1388 + :1613
         "teacher_ema_before_optimizer": True,  # dino.py:871
+        # MLP probes extract train-split features with the encoder in TRAIN mode
+        # (batch-stat BN + dropout, probe-local running-stat updates) and eval
+        # splits with the updated stats — dino.py:888-917 semantics. False = eval
+        # -mode cached features everywhere (round-1 behavior, lower variance).
+        "probe_bn_train_mode": True,
     },
 }
 

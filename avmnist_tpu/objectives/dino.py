@@ -354,7 +354,40 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
                                  train=False)
         return encoder.apply(variables, images, audios, train=False)
 
+    def _apply_encoder(variables, images, audios, **kw):
+        if unimodal:
+            return encoder.apply(variables, images=images, spectrograms=audios, **kw)
+        return encoder.apply(variables, images, audios, **kw)
+
+    @jax.jit
+    def feature_fn_train(state: TrainState, batch: Dict, rng, enc_stats):
+        """Train-mode probe features: batch-stat BN + active dropout, running stats
+        updated in the probe's own copy — DownstreamClassifier under
+        ``model_downstream.train()`` (reference dino.py:888, 1764-1814). Returns
+        (features, updated_stats); thread ``enc_stats`` sequentially across batches."""
+        images = normalize_images(batch["image"])
+        audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
+        variables = {"params": state.params.get("encoder"), "batch_stats": enc_stats}
+        out, upd = _apply_encoder(variables, images, audios, train=True,
+                                  mutable=["batch_stats"], rngs={"dropout": rng})
+        return out, upd["batch_stats"]
+
+    @jax.jit
+    def feature_fn_stats(state: TrainState, batch: Dict, enc_stats):
+        """Eval-mode features with EXPLICIT running stats (post-probe-training eval,
+        reference dino.py:915-917 ``model.eval()`` after a train()-mode epoch)."""
+        images = normalize_images(batch["image"])
+        audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
+        variables = {"params": state.params.get("encoder"), "batch_stats": enc_stats}
+        return _apply_encoder(variables, images, audios, train=False)
+
+    def initial_probe_stats(state: TrainState):
+        return state.batch_stats.get("encoder", {})
+
     return Objective(f"dino_{cfg.model_name}_{cfg.mode}", init_fn, step_fn,
                      eval_fn=None, feature_fn=feature_fn,
                      meta={"config": cfg, "student": student, "encoder": encoder,
-                           "augment": augment, "unimodal": unimodal})
+                           "augment": augment, "unimodal": unimodal,
+                           "feature_fn_train": feature_fn_train,
+                           "feature_fn_stats": feature_fn_stats,
+                           "initial_probe_stats": initial_probe_stats})

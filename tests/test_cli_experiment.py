@@ -142,3 +142,43 @@ def test_submit_models_dry_run(capsys):
     out = capsys.readouterr().out
     assert "--model multi_central" in out
     assert "--unimodal_model image_simple" in out
+
+
+@pytest.mark.parametrize("name", ["config_multimodal_dino.yaml",
+                                  "config_multimodal_dino_old_augments.yaml"])
+def test_shipped_config_roundtrip(name):
+    """Both shipped YAMLs (reference configs/ parity) load through the schema and
+    their best_augments blocks build a runnable on-device multi-crop pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from avmnist_tpu.config.schema import load_config
+    from avmnist_tpu.augment.multicrop import MultiCropAugment
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", name)
+    cfg = load_config(path)
+    for section in ("data", "experiment", "hardware", "hyperparameters",
+                    "best_augments", "logs", "model", "optuna"):
+        assert section in cfg, section
+    best = cfg["best_augments"]
+    assert set(best) == {"global_views", "local_views"}
+    aug = MultiCropAugment.from_config(n_global_views=1, n_local_views=1,
+                                       best_augments=best)
+    imgs = jnp.ones((2, 28, 28), jnp.float32) * 0.5
+    auds = jnp.ones((2, 112, 112), jnp.float32) * 0.5
+    gi, ga, li, la = aug(imgs, auds, jax.random.key(0))
+    assert gi.shape == (2, 1, 28, 28, 1) and ga.shape == (2, 1, 112, 112, 1)
+    assert la.shape == (2, 1, 112, 112, 1)
+    assert np.isfinite(np.asarray(ga)).all()
+
+
+def test_old_augments_config_differs_from_tuned():
+    from avmnist_tpu.config.schema import load_config
+
+    base = os.path.join(os.path.dirname(__file__), "..", "configs")
+    tuned = load_config(os.path.join(base, "config_multimodal_dino.yaml"))
+    old = load_config(os.path.join(base, "config_multimodal_dino_old_augments.yaml"))
+    t = tuned["best_augments"]["local_views"]["grouped_masking"]
+    o = old["best_augments"]["local_views"]["grouped_masking"]
+    assert t["mask_ratio"] != o["mask_ratio"]
+    # reference old config disables time_warp/gaussian_noise (p: 0.0)
+    assert old["best_augments"]["global_views"]["time_warp"]["p"] == 0.0

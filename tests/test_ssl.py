@@ -215,3 +215,42 @@ def test_dino_on_mesh(synthetic_arrays, mesh8):
     state, metrics = obj.step_fn(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["train_loss"]))
     assert len(batch["image"].sharding.device_set) == 8
+
+
+def test_probe_bn_train_mode(synthetic_arrays):
+    """Reference-exact probe-BN semantics (VERDICT.md Missing #6): train-mode
+    feature extraction uses batch stats + dropout and UPDATES a probe-local copy
+    of the running stats; eval extraction with the updated stats differs from the
+    SSL-state stats; the full train-mode probe pipeline yields finite accuracy."""
+    from avmnist_tpu.train.experiment import (_probe_features,
+                                              _probe_features_bn_train)
+    from avmnist_tpu.eval.probes import train_linear_probe
+
+    train, test = synthetic_arrays
+    cfg = DinoConfig(model_name="multi_central", projection_dim=8, output_dim=16,
+                     encoder_output_dim=16, n_global_views=1, n_local_views=1,
+                     dropout=0.3)
+    obj = make_dino_objective(cfg)
+    state = obj.init_fn(jax.random.key(0))
+
+    batch = train.gather(np.arange(16))
+    stats0 = obj.meta["initial_probe_stats"](state)
+    f1, stats1 = obj.meta["feature_fn_train"](state, batch, jax.random.key(1), stats0)
+    assert f1.shape == (16, 16)
+    # running stats must have moved (BN momentum update from batch stats)
+    moved = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(stats0), jax.tree.leaves(stats1))]
+    assert any(moved)
+    # dropout active in train mode: different rng -> different features
+    f2, _ = obj.meta["feature_fn_train"](state, batch, jax.random.key(2), stats0)
+    assert not np.allclose(np.asarray(f1), np.asarray(f2))
+    # eval-mode with updated stats differs from eval-mode with SSL stats
+    e_new = obj.meta["feature_fn_stats"](state, batch, stats1)
+    e_old = obj.feature_fn(state, batch)
+    assert not np.allclose(np.asarray(e_new), np.asarray(e_old))
+
+    (tf, tl), [(vf, vl)] = _probe_features_bn_train(obj, state, train, [test],
+                                                    batch_size=32, seed=0)
+    assert len(tf) == len(train.labels) and len(vf) == len(test.labels)
+    out = train_linear_probe(tf, tl, vf, vl, epochs=1)
+    assert np.isfinite(out["accuracy"])
