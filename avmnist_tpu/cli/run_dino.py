@@ -195,6 +195,13 @@ def main(argv=None):
             config, lambda aug, trial: trial_train(aug, trial, is_augment=True),
             model_dir_scratch, config_path)
 
+    if study is not None:
+        # Optuna study plot suite (reference run_dino.py:478-479 ->
+        # plots_trials.py:426-439): trial values + parallel coords + importances.
+        from avmnist_tpu.eval.visualize import create_plots_for_study
+
+        create_plots_for_study(study, os.path.join(model_dir_data, "plots_trials"))
+
     results = run_seeds(
         make_objective, config, train_split, val_split, test,
         model_dir_scratch, model_name, metric=args.metric,

@@ -299,6 +299,151 @@ def plot_study_trials(trials, plots_path: str) -> Optional[str]:
     return path
 
 
+def _normalize_trials(trials) -> List[Dict]:
+    """Accept an optuna Study, a list of optuna FrozenTrials, or fallback
+    StudyResult trial dicts; return [{number, value, params}] for finished trials."""
+    if hasattr(trials, "trials"):
+        trials = trials.trials
+    out = []
+    for i, t in enumerate(trials):
+        if isinstance(t, dict):
+            rec = {"number": t.get("number", i), "value": t.get("value"),
+                   "params": t.get("params", {})}
+        else:
+            rec = {"number": getattr(t, "number", i), "value": getattr(t, "value", None),
+                   "params": dict(getattr(t, "params", {}) or {})}
+        v = rec["value"]
+        if v is not None and v == v:  # finished, non-NaN
+            out.append(rec)
+    return out
+
+
+def _param_matrix(trials: List[Dict]):
+    """Encode trial params into a numeric matrix (categoricals -> codes).
+    Returns (names, X, values)."""
+    names = sorted({k for t in trials for k in t["params"]})
+    codes: Dict[str, Dict] = {}
+    X = np.zeros((len(trials), len(names)))
+    for i, t in enumerate(trials):
+        for j, nm in enumerate(names):
+            v = t["params"].get(nm)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                X[i, j] = float(v)
+            else:  # categorical (str/bool/list) -> stable integer code
+                key = repr(v)
+                X[i, j] = codes.setdefault(nm, {}).setdefault(
+                    key, len(codes.get(nm, {})))
+    values = np.asarray([t["value"] for t in trials], dtype=float)
+    return names, X, values
+
+
+def plot_parallel_coordinates(trials, plots_path: str,
+                              name: str = "parallel_coordinates.png") -> Optional[str]:
+    """Parallel-coordinates plot of the search space, lines colored by objective
+    value (reference plots_trials.py:426-439 `create_plots_for_study` via
+    optuna.visualization.matplotlib.plot_parallel_coordinate; rebuilt natively so
+    it also works for the no-optuna fallback engine)."""
+    try:
+        plt = _plt()
+    except Exception:  # pragma: no cover
+        return None
+    trials = _normalize_trials(trials)
+    if len(trials) < 2:
+        return None
+    names, X, values = _param_matrix(trials)
+    if not names:
+        return None
+    # min-max normalize each axis (constant axes -> 0.5)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    Xn = np.where(hi > lo, (X - lo) / span, 0.5)
+    os.makedirs(plots_path, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(max(8, 1.2 * len(names)), 5))
+    vlo, vhi = float(values.min()), float(values.max())
+    vspan = (vhi - vlo) or 1.0
+    cmap = plt.get_cmap("viridis")
+    order = np.argsort(values)  # draw best last
+    for i in order:
+        ax.plot(range(len(names)), Xn[i], color=cmap((values[i] - vlo) / vspan),
+                alpha=0.6)
+    for j, nm in enumerate(names):
+        ax.axvline(j, color="grey", lw=0.5)
+        ax.text(j, -0.06, f"{lo[j]:.3g}", ha="center", va="top", fontsize=7,
+                transform=ax.get_xaxis_transform())
+        ax.text(j, 1.01, f"{hi[j]:.3g}", ha="center", va="bottom", fontsize=7,
+                transform=ax.get_xaxis_transform())
+    ax.set_xticks(range(len(names)), names, rotation=30, ha="right")
+    ax.set_yticks([])
+    ax.set_title("Parallel coordinates (color = objective value)")
+    sm = plt.cm.ScalarMappable(cmap=cmap,
+                               norm=plt.Normalize(vmin=vlo, vmax=vhi))
+    fig.colorbar(sm, ax=ax, label="objective value")
+    path = os.path.join(plots_path, name)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_param_importances(trials, plots_path: str,
+                           name: str = "param_importances.png") -> Optional[str]:
+    """Hyperparameter-importance bar chart (plots_trials.py:426-439 via
+    optuna.visualization.matplotlib.plot_param_importances). Importances come from a
+    random-forest fit of objective value on encoded params (sklearn analog of
+    optuna's default fANOVA evaluator), falling back to |correlation| when sklearn
+    is unavailable or the trial count is tiny."""
+    try:
+        plt = _plt()
+    except Exception:  # pragma: no cover
+        return None
+    trials = _normalize_trials(trials)
+    if len(trials) < 3:
+        return None
+    names, X, values = _param_matrix(trials)
+    if not names:
+        return None
+    varying = [j for j in range(len(names)) if X[:, j].std() > 0]
+    if not varying:
+        return None
+    names = [names[j] for j in varying]
+    X = X[:, varying]
+    importances = None
+    if len(trials) >= 5:
+        try:
+            from sklearn.ensemble import RandomForestRegressor
+
+            rf = RandomForestRegressor(n_estimators=64, random_state=0)
+            rf.fit(X, values)
+            importances = rf.feature_importances_
+        except Exception:
+            importances = None
+    if importances is None:  # tiny studies: |Pearson| as importance
+        xs = (X - X.mean(axis=0)) / np.where(X.std(axis=0) > 0, X.std(axis=0), 1.0)
+        vs = (values - values.mean()) / (values.std() or 1.0)
+        importances = np.abs(xs.T @ vs) / len(values)
+        total = importances.sum() or 1.0
+        importances = importances / total
+    order = np.argsort(importances)
+    os.makedirs(plots_path, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(7, 1 + 0.4 * len(names)))
+    ax.barh(range(len(names)), importances[order])
+    ax.set_yticks(range(len(names)), [names[j] for j in order])
+    ax.set_xlabel("importance")
+    ax.set_title("Hyperparameter importances")
+    path = os.path.join(plots_path, name)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def create_plots_for_study(study_or_trials, plots_path: str) -> List[str]:
+    """Full search-study plot bundle (reference plots_trials.py:426-439): trial
+    values + parallel coordinates + param importances."""
+    out = [plot_study_trials(study_or_trials, plots_path),
+           plot_parallel_coordinates(study_or_trials, plots_path),
+           plot_param_importances(study_or_trials, plots_path)]
+    return [p for p in out if p]
+
+
 def visualize_train_results(features, labels, preds, probs, log_path: str,
                             model_dir_data: str, seed: int = 1) -> List[str]:
     """The full post-training plot bundle (run_dino.py:503-526)."""

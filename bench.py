@@ -1,18 +1,23 @@
-"""Benchmark: SSL pretraining throughput (pairs/sec) on the available accelerator.
+"""Benchmark: SSL/supervised pretraining throughput on the available accelerator,
+one JSON line per workload (all five reference training workloads, SURVEY.md §0).
 
-Workload: audio SimCLR training step (NT-Xent over two augmented spectrogram views)
-— the workload behind BASELINE.md's derived ~2700 pairs/sec single-GPU reference
-(small SimCLR models, 1.77h / 100 epochs x 3 seeds x 55k pairs) — INCLUDING the
-two-view augmentation bank, which the reference runs on CPU workers and we run fused
-on device.
+Baselines (``vs_baseline`` denominators) are derived from artifacts committed in the
+reference repo — 100 epochs x 3 seeds x 55k train pairs divided by the committed
+wall time (BASELINE.md; reference other_ssl/*/..._performance_summary.txt
+``training_time_hours``; CentralNet from training_log_*.csv start-timestamp deltas,
+2061 s/seed). No DINO-specific timing is committed, so DINO uses BASELINE.md's
+generic ~2700 pairs/sec derivation — conservative for us, since a DINO pair costs
+(Ng+Nl) student + Ng teacher view forwards, not one.
 
-Measurement: N_STEPS training steps inside ONE jitted lax.scan, timed end to end with
-a value fetch — a single host<->device round trip, so remote-tunnel dispatch latency
-cannot inflate (or deflate) the number. This is true device throughput; a production
+Measurement: N steps inside ONE jitted lax.scan, timed end to end with a value fetch
+— a single host<->device round trip, so remote-tunnel dispatch latency cannot inflate
+(or deflate) the number (the axon relay's block_until_ready is a no-op). Parameters
+evolve every step and augmentation keys vary per step, so XLA cannot hoist the model
+or view pipeline out of the loop. This is true device throughput; the production
 input pipeline overlaps host batch gather with device compute (data/datasets.py
 prefetch), so steady-state wall throughput matches it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per workload: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
@@ -23,25 +28,22 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-BASELINE_PAIRS_PER_SEC = 2700.0  # BASELINE.md derived throughput reference
-BATCH = 1024
-N_STEPS = 20
+# Reference throughput baselines, pairs- or samples-per-second on 1 GPU.
+#   16.5M pairs / (training_time_hours * 3600)
+BASE_AUDIO_SIMCLR = 16_500_000 / (1.77 * 3600)   # 2589.6  (audio_simclr summary)
+BASE_MM_SIMCLR = 16_500_000 / (1.65 * 3600)      # 2777.8  (multimodal_simclr summary)
+BASE_INFONCE = 16_500_000 / (0.67 * 3600)        # 6840.8  (info_nce summary)
+BASE_MASKED_AE = 16_500_000 / (1.06 * 3600)      # 4324.0  (masked_autoencoder summary)
+BASE_CENTRALNET = 5_500_000 / 2061.0             # 2668.6  (training_log timestamps)
+BASE_DINO = 2700.0                               # BASELINE.md:33-35 generic SSL rate
 
 
-def main():
-    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
-    from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
-
-    cfg = SimCLRConfig(audio_only=True, output_dim=256, projection_dim=128,
-                       learning_rate=1e-4)
-    objective = make_simclr_objective(cfg)
+def measure(objective, batch, batch_size: int, n_steps: int = 20) -> float:
+    """Items/sec for n_steps of objective.step_fn on a device-resident batch."""
     state = objective.init_fn(jax.random.key(0))
-
-    train, _ = make_synthetic_avmnist(n_train=BATCH, n_test=8, seed=0)
-    batch = {k: jax.device_put(v) for k, v in train.gather(np.arange(BATCH)).items()}
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
 
     @jax.jit
     def run_steps(state, key):
@@ -49,27 +51,68 @@ def main():
             s, metrics = objective.step_fn(s, batch, k)
             return s, metrics["train_loss"]
 
-        keys = jax.random.split(key, N_STEPS)
-        state, losses = jax.lax.scan(body, state, keys)
-        return state, losses
+        keys = jax.random.split(key, n_steps)
+        return jax.lax.scan(body, state, keys)
 
-    # compile + warmup (value fetch forces real execution through any relay)
-    state, losses = run_steps(state, jax.random.key(1))
-    _ = float(losses[-1])
-
+    state, losses = run_steps(state, jax.random.key(1))  # compile + warmup
+    assert np.isfinite(float(losses[-1]))
     t0 = time.perf_counter()
     state, losses = run_steps(state, jax.random.key(2))
-    final = float(losses[-1])  # sync
+    final = float(losses[-1])  # value fetch forces real execution through the relay
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
+    return n_steps * batch_size / dt
 
-    pairs_per_sec = N_STEPS * BATCH / dt
-    print(json.dumps({
-        "metric": "audio_simclr_pretrain_pairs_per_sec",
-        "value": round(pairs_per_sec, 1),
-        "unit": "pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
-    }))
+
+def workloads():
+    from avmnist_tpu.objectives.autoencoder import (AutoencoderConfig,
+                                                    make_autoencoder_objective)
+    from avmnist_tpu.objectives.dino import DinoConfig, make_dino_objective
+    from avmnist_tpu.objectives.infonce import InfoNCEConfig, make_infonce_objective
+    from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
+    from avmnist_tpu.objectives.supervised import make_centralnet_objective
+
+    yield ("audio_simclr_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
+           BASE_AUDIO_SIMCLR,
+           lambda: make_simclr_objective(SimCLRConfig(
+               audio_only=True, output_dim=256, projection_dim=128,
+               learning_rate=1e-4)))
+    yield ("multimodal_simclr_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
+           BASE_MM_SIMCLR,
+           lambda: make_simclr_objective(SimCLRConfig(
+               audio_only=False, output_dim=256, projection_dim=128,
+               learning_rate=1e-4)))
+    yield ("info_nce_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
+           BASE_INFONCE,
+           lambda: make_infonce_objective(InfoNCEConfig()))
+    yield ("masked_autoencoder_pretrain_samples_per_sec", "samples/sec/chip", 512,
+           BASE_MASKED_AE,
+           lambda: make_autoencoder_objective(AutoencoderConfig(variant="masked")))
+    yield ("centralnet_supervised_samples_per_sec", "samples/sec/chip", 1024,
+           BASE_CENTRALNET,
+           lambda: make_centralnet_objective())
+    yield ("dino_multi_central_pretrain_pairs_per_sec", "pairs/sec/chip", 256,
+           BASE_DINO,
+           lambda: make_dino_objective(DinoConfig(model_name="multi_central")))
+
+
+def main():
+    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
+
+    train, _ = make_synthetic_avmnist(n_train=1024, n_test=8, seed=0)
+    for metric, unit, batch_size, baseline, build in workloads():
+        try:
+            batch = train.gather(np.arange(batch_size) % len(train.labels))
+            rate = measure(build(), batch, batch_size)
+            print(json.dumps({
+                "metric": metric,
+                "value": round(rate, 1),
+                "unit": unit,
+                "vs_baseline": round(rate / baseline, 2),
+            }), flush=True)
+        except Exception as e:  # keep emitting the remaining workloads
+            print(json.dumps({"metric": metric, "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
 
 
 if __name__ == "__main__":

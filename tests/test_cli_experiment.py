@@ -7,6 +7,7 @@ import pytest
 import yaml
 
 
+@pytest.mark.slow
 def test_run_dino_cli_end_to_end(tmp_path, monkeypatch):
     from avmnist_tpu.cli.run_dino import main
 

@@ -68,6 +68,7 @@ def generated_dataset(tmp_path_factory):
     return str(data_dir)
 
 
+@pytest.mark.slow
 def test_generated_dataset_trains_and_probes(generated_dataset):
     import jax
 

@@ -20,7 +20,9 @@ def init_and_apply(model, *args, method=None):
     return out, variables
 
 
-@pytest.mark.parametrize("name", sorted(MODEL_MAP))
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in ("multi_mobile_vit", "multi_resnet")
+    else n for n in sorted(MODEL_MAP)])
 def test_multimodal_encoder_shapes(name):
     img = jnp.asarray(np.random.default_rng(0).normal(size=IMG.shape), jnp.float32)
     aud = jnp.asarray(np.random.default_rng(1).normal(size=AUD.shape), jnp.float32)

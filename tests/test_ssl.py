@@ -84,6 +84,7 @@ def _run_steps(obj, train, n_steps=4, batch_size=16, mesh=None):
     return state, losses
 
 
+@pytest.mark.slow
 def test_simclr_objectives_step(synthetic_arrays):
     train, _ = synthetic_arrays
     for cfg in (SimCLRConfig(audio_only=True, output_dim=32, projection_dim=16),
@@ -95,6 +96,7 @@ def test_simclr_objectives_step(synthetic_arrays):
         assert feats.shape == (8, 32)
 
 
+@pytest.mark.slow
 def test_infonce_objective_steps_and_learns(synthetic_arrays):
     train, _ = synthetic_arrays
     obj = make_infonce_objective(InfoNCEConfig(output_dim=32, projection_dim=16,
@@ -106,6 +108,7 @@ def test_infonce_objective_steps_and_learns(synthetic_arrays):
     assert f.shape == (4, 32)
 
 
+@pytest.mark.slow
 def test_autoencoder_objectives(synthetic_arrays):
     train, _ = synthetic_arrays
     for variant in ("plain", "masked"):
@@ -126,6 +129,7 @@ def test_autoencoder_objectives(synthetic_arrays):
     ("image_simple", "default"),
     ("spectrogram_simple", "default"),
 ])
+@pytest.mark.slow
 def test_dino_objective_steps(synthetic_arrays, model_name, mode):
     train, _ = synthetic_arrays
     cfg = DinoConfig(model_name=model_name, mode=mode, projection_dim=16,
@@ -138,6 +142,7 @@ def test_dino_objective_steps(synthetic_arrays, model_name, mode):
     assert feats.shape == (4, 32)
 
 
+@pytest.mark.slow
 def test_dino_ema_and_center_semantics(synthetic_arrays):
     train, _ = synthetic_arrays
     cfg = DinoConfig(model_name="multi_central", projection_dim=8, output_dim=16,
@@ -164,6 +169,7 @@ def test_dino_ema_and_center_semantics(synthetic_arrays):
     assert float(jnp.abs(state1.center).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_contrastive_negatives_are_global_on_mesh(synthetic_arrays, mesh8):
     """The InfoNCE similarity matrix must span the GLOBAL batch when the batch is
     sharded over the data axis (all-gathered negatives over ICI): the sharded loss
@@ -186,6 +192,7 @@ def test_contrastive_negatives_are_global_on_mesh(synthetic_arrays, mesh8):
     assert abs(float(m_small["train_loss"]) - float(m_local["train_loss"])) > 1e-3
 
 
+@pytest.mark.slow
 def test_dino_per_view_bn(synthetic_arrays):
     """per_view_bn=True computes BN stats per view (reference-exact); the step must
     run and produce a different (finite) loss than the folded default."""
@@ -203,6 +210,7 @@ def test_dino_per_view_bn(synthetic_arrays):
     assert losses[False] != losses[True]  # different BN statistics
 
 
+@pytest.mark.slow
 def test_dino_on_mesh(synthetic_arrays, mesh8):
     from avmnist_tpu.parallel import shard_batch, replicate_state
 
@@ -217,6 +225,7 @@ def test_dino_on_mesh(synthetic_arrays, mesh8):
     assert len(batch["image"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_probe_bn_train_mode(synthetic_arrays):
     """Reference-exact probe-BN semantics (VERDICT.md Missing #6): train-mode
     feature extraction uses batch stats + dropout and UPDATES a probe-local copy

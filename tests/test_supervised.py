@@ -2,6 +2,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from avmnist_tpu.data import Batches, split_train_val
 from avmnist_tpu.objectives.supervised import (
@@ -13,6 +14,7 @@ from avmnist_tpu.train.loops import evaluate, fit
 from avmnist_tpu.utils.logging import CSVLogger, MetadataCSV
 
 
+@pytest.mark.slow
 def test_centralnet_learns_synthetic(synthetic_arrays, mesh8, tmp_path):
     train, test = synthetic_arrays
     obj = make_centralnet_objective(channels=4, learning_rate=1e-3)
@@ -34,6 +36,7 @@ def test_centralnet_learns_synthetic(synthetic_arrays, mesh8, tmp_path):
     assert "train_loss" in head and "epoch" in head
 
 
+@pytest.mark.slow
 def test_unimodal_objectives_run(synthetic_arrays, mesh8):
     train, test = synthetic_arrays
     for modality in ("image", "audio"):

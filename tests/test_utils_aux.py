@@ -156,3 +156,54 @@ def test_legacy_multimodal_vit():
                img, aud, train=False)
     out = m.apply(v, img, aud, train=False)
     assert out.shape == (2, 32)
+
+
+def test_diagnostics_figure_report(tmp_path):
+    """Figure-emitting comprehensive report (reference debugging.py:245-698 visual
+    parity): grad-flow/loss/similarity/center PNGs + weight hists + report.html."""
+    import jax
+    import jax.numpy as jnp
+    from avmnist_tpu.utils import debugging as D
+
+    rec = D.DiagnosticsRecorder()
+    rng = np.random.default_rng(0)
+    grads = {"encoder": {"kernel": jnp.ones((4, 4))},
+             "projection": {"kernel": jnp.ones((4,)) * 2}}
+    for step in range(8):
+        rec.record_step(step, float(rng.normal() + 3), grads=grads,
+                        center=jnp.ones((1, 8)) * step,
+                        similarity=0.5 + 0.05 * step)
+    out = tmp_path / "debug"
+    params = {"layer": {"kernel": jnp.asarray(rng.normal(size=(32, 16)))}}
+    text = rec.report(str(out), params=params)
+    assert "grad norms" in text
+    produced = {p.name for p in out.iterdir()}
+    for want in ("report.txt", "report.html", "loss_curve.png",
+                 "gradient_norms.png", "gradient_flow.png",
+                 "student_teacher_similarity.png", "center_updates.png",
+                 "weight_distributions.png"):
+        assert want in produced, want
+
+
+def test_feature_maps_and_tsne(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from avmnist_tpu.utils.debugging import plot_embeddings_tsne, plot_feature_maps
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(4, (3, 3))(x)
+            return x.mean(axis=(1, 2, 3))
+
+    m = Tiny()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 1)), jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    p = plot_feature_maps(m, variables, x, out_dir=str(tmp_path))
+    assert p is not None and p.endswith("feature_maps.png")
+
+    s = np.random.default_rng(1).normal(size=(20, 8))
+    t = s + 0.1 * np.random.default_rng(2).normal(size=(20, 8))
+    p = plot_embeddings_tsne(s, t, str(tmp_path))
+    assert p is not None and p.endswith("embeddings_tsne.png")

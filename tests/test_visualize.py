@@ -53,3 +53,45 @@ def test_plot_study_trials(tmp_path):
     trials = [{"number": i, "value": float(i) if i != 2 else float("nan")}
               for i in range(5)]
     assert V.plot_study_trials(trials, str(tmp_path)) is not None
+
+
+def test_study_plot_suite(tmp_path):
+    """Optuna plot-suite parity (plots_trials.py:426-439): parallel coordinates +
+    param importances from both dict-trials (fallback engine) and object-trials."""
+    rng = np.random.default_rng(0)
+    trials = []
+    for i in range(12):
+        lr = float(10 ** rng.uniform(-5, -2))
+        bs = int(rng.choice([128, 192, 256]))
+        scale = rng.choice(["a", "b"])
+        value = -np.log10(lr) + 0.01 * bs + (0.5 if scale == "a" else 0.0)
+        trials.append({"number": i, "value": float(value),
+                       "params": {"learning_rate": lr, "batch_size": bs,
+                                  "scale": scale}})
+    trials.append({"number": 12, "value": float("nan"), "params": {}})  # failed trial
+    out = V.create_plots_for_study(trials, str(tmp_path))
+    names = {V.os.path.basename(p) for p in out}
+    assert "parallel_coordinates.png" in names
+    assert "param_importances.png" in names
+    assert "study_trials.png" in names
+
+    class T:  # optuna FrozenTrial-shaped
+        def __init__(self, t):
+            self.number, self.value, self.params = t["number"], t["value"], t["params"]
+
+    frozen = [T(t) for t in trials]
+
+    class Study:
+        pass
+
+    Study.trials = frozen
+
+    assert V.plot_parallel_coordinates(Study(), str(tmp_path / "obj")) is not None
+    assert V.plot_param_importances(Study(), str(tmp_path / "obj")) is not None
+
+
+def test_study_plots_degenerate(tmp_path):
+    # <2 finished trials or no params -> None, no crash
+    assert V.plot_parallel_coordinates([{"number": 0, "value": 1.0, "params": {}}],
+                                       str(tmp_path)) is None
+    assert V.plot_param_importances([], str(tmp_path)) is None
