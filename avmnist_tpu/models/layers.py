@@ -52,13 +52,20 @@ def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
 
 class ConvBNRelu(nn.Module):
     """Conv -> BatchNorm -> ReLU (-> optional MaxPool2), the reference's basic block
-    (e.g. dino.py:18-73)."""
+    (e.g. dino.py:18-73).
+
+    ``use_bias`` defaults to False: a conv bias feeding BatchNorm is mathematically
+    inert — BN's mean subtraction cancels it in train mode AND through the running
+    stats at eval, and its gradient is identically zero (d/db[(y+b)-mean(y+b)] = 0).
+    The reference's nn.Conv2d keeps the (random-init, never-moving) bias and pays
+    for it; on TPU the dL/db reductions alone cost ~5.2 ms/step at B=1024 on the
+    112x112 audio stem (measured via hlo_stats, round 2). Exact in function space."""
 
     features: int
     kernel: int = 3
     padding: Any = "SAME"
     pool: bool = True
-    use_bias: bool = True
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):

@@ -24,9 +24,9 @@ class CentralUnimodalImage(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9)
-        x = Conv(32, (5, 5), padding=2)(x)
+        x = Conv(32, (5, 5), padding=2, use_bias=False)(x)  # bias inert before BN
         x = max_pool2(nn.relu(bn()(x)))          # (B,14,14,32)
-        x = Conv(64, (5, 5), padding=0)(x)
+        x = Conv(64, (5, 5), padding=0, use_bias=False)(x)
         x = max_pool2(nn.relu(bn()(x)))          # (B,5,5,64)
         x = x.reshape(x.shape[0], -1)            # 1600
         if self.with_head:
@@ -48,7 +48,7 @@ class CentralUnimodalAudio(nn.Module):
     def __call__(self, x, train: bool = True):
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9)
         for w in self.widths:
-            x = Conv(w, (5, 5), padding=2)(x)
+            x = Conv(w, (5, 5), padding=2, use_bias=False)(x)  # bias inert before BN
             x = max_pool2(nn.relu(bn()(x)))
         x = x.reshape(x.shape[0], -1)             # 64*7*7 = 3136
         if self.with_head:

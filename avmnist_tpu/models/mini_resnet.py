@@ -18,7 +18,8 @@ class CnnBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.features, (self.kernel, self.kernel),
-                 strides=(self.stride, self.stride), padding=self.padding)(x)
+                 strides=(self.stride, self.stride), padding=self.padding,
+                 use_bias=False)(x)  # bias inert before BN
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         return nn.relu(x)
 

@@ -90,3 +90,29 @@ def test_generate_augmented_npy_artifact(fake_corpus, tmp_path):
     assert not np.array_equal(np.asarray(mm[0]), np.asarray(mm[1]))
     with open(path, "rb") as f:
         assert f.read(6) != b"\x93NUMPY"
+
+
+def test_synth_corpus_components(tmp_path):
+    """Parity-corpus synthesizers: digit waves are class-structured, images are
+    MNIST-contract float64 [0,255], ESC-50 meta layout parses."""
+    from avmnist_tpu.dsp import synth_corpus as SC
+
+    rng = np.random.default_rng(0)
+    w0 = SC._digit_wave(0, 110.0, rng)
+    w1 = SC._digit_wave(1, 110.0, rng)
+    assert w0.dtype == np.int16 and len(w0) >= 2048 and len(w0) % 512 == 0
+    # different digits -> different spectral envelopes (crude check)
+    s0 = np.abs(np.fft.rfft(w0[:2048].astype(np.float64)))
+    s1 = np.abs(np.fft.rfft(w1[:2048].astype(np.float64)))
+    assert np.corrcoef(s0, s1)[0, 1] < 0.95
+
+    esc = SC.synthesize_esc50(str(tmp_path / "esc"), files_per_category=1)
+    cats = esc50_files_by_category(esc)
+    assert len(cats) == 40 and all(len(v) == 1 for v in cats.values())
+
+    labels = np.array([3, 7, 3])
+    imgs = SC.synthesize_images(labels, seed=0)
+    assert imgs.shape == (3, 28, 28) and imgs.dtype == np.float64
+    assert imgs.max() <= 255.0 and imgs.max() > 50.0
+    # same class, different warps
+    assert not np.allclose(imgs[0], imgs[2])
