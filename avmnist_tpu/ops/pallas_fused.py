@@ -30,6 +30,7 @@ order receives the gradient.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -38,6 +39,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests on CPU
+_ENABLED_CACHE: dict = {}
+
+
+def fused_enabled() -> bool:
+    """Whether ConvBNRelu routes its train-mode epilogue through the fused Pallas
+    kernels. Env ``AVMNIST_PALLAS_FUSED=1`` opts in; DEFAULT IS OFF.
+
+    Measured on v5e (B=1024, 112x112x32 bf16, fwd+bwd): this kernel 115.6 ms vs
+    XLA's 13.5 ms. Root cause: NHWC blocks put C=32 in the lane dimension, which
+    Mosaic pads to 128 — 4x wasted VMEM bandwidth — and the f32 in-kernel
+    temporaries double it. XLA's own layout freedom makes the unfused epilogue
+    ~3x off speed-of-light already; beating it needs a (w, c)->(w/4, 128)
+    lane-packed redesign (docs/PERF_NOTES.md), kept here for future work.
+    A pure-XLA elementwise-VJP maxpool backward was also tried and measured
+    0.26x of select_and_scatter at the same shape — XLA's TPU select_and_scatter
+    is faster than its reputation; both negative results are recorded so they
+    are not re-explored."""
+    mode = os.environ.get("AVMNIST_PALLAS_FUSED", "0").lower()
+    return mode in ("1", "true", "on")
 
 
 def _pick_tiles(b: int, h: int, w: int, c: int) -> Tuple[int, int]:
@@ -104,10 +124,10 @@ def _pool2(z):
     return jnp.maximum(zh[:, :, 0], zh[:, :, 1])
 
 
-def _roll(x, axis):
+def _roll(x, axis, shift: int = 1):
     if _INTERPRET:
-        return jnp.roll(x, 1, axis)
-    return pltpu.roll(x, 1, axis)
+        return jnp.roll(x, shift, axis)
+    return pltpu.roll(x, shift, axis)
 
 
 def _recompute_dz(y, g, scale, shift):
@@ -128,10 +148,12 @@ def _recompute_dz(y, g, scale, shift):
         jnp.float32)
     cpar = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2) % 2).astype(
         jnp.float32)
-    raw_l = _roll(raw, 2) * cpar                      # left neighbor (odd cols)
-    raw_u = _roll(raw, 1) * rpar                      # upper neighbor (odd rows)
-    raw_ul = _roll(_roll(raw, 1), 2) * rpar * cpar    # upper-left (odd rows+cols)
-    prefix = jnp.minimum(raw_l + raw_u + raw_ul, 1.0)
+    raw_l = _roll(raw, 2) * cpar                      # (r,1) <- (r,0)
+    raw_u = _roll(raw, 1) * rpar                      # (1,c) <- (0,c)
+    raw_ul = _roll(_roll(raw, 1), 2) * rpar * cpar    # (1,1) <- (0,0)
+    # (1,0) <- (0,1): row-major order puts (0,1) BEFORE (1,0) in the window
+    raw_ur = _roll(_roll(raw, 1), 2, shift=-1) * rpar * (1.0 - cpar)
+    prefix = jnp.minimum(raw_l + raw_u + raw_ul + raw_ur, 1.0)
     return glu * raw * (1.0 - prefix)
 
 
