@@ -138,6 +138,14 @@ def main(argv=None):
     hp = config["hyperparameters"]
     steps_per_epoch = len(train_split) // hp["batch_size"]
     mesh = create_mesh(n_model=config["hardware"].get("model_parallel", 1))
+    if config.get("data", {}).get("resident", True):
+        # One HBM placement up front; tuning trials and the seed loop then run
+        # whole-epoch scans with no per-batch H2D (data/resident.py).
+        from avmnist_tpu.data.resident import as_resident
+
+        train_split = as_resident(train_split, mesh)
+        val_split = as_resident(val_split, mesh)
+        test = as_resident(test, mesh)
 
     def make_objective(overrides: Optional[Dict] = None, augments=None):
         merged = dict(config)

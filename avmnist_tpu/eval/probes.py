@@ -30,13 +30,21 @@ from avmnist_tpu.train.optim import torch_adamw
 
 
 def extract_features(feature_fn: Callable, batches: Iterable[Dict]) -> Tuple[np.ndarray, np.ndarray]:
-    """Run a jitted feature_fn(batch) -> (B, D) over a split; returns (features, labels)."""
+    """Run a jitted feature_fn(batch) -> (B, D) over a split; returns (features, labels).
+
+    Batches stream through the device prefetcher and every output stays on device
+    until one device_get at the end — per-batch syncs serialized this loop under
+    the axon TPU relay (probes run every epoch, so this is on the training path)."""
+    from avmnist_tpu.data.datasets import prefetch_to_device
+
+    dev = []
+    for batch in prefetch_to_device(batches, size=2):
+        dev.append((feature_fn(batch), batch["label"], batch.get("valid", None)))
     feats, labels = [], []
-    for batch in batches:
-        valid = int(batch.get("valid", len(batch["label"])))
-        f = np.asarray(jax.device_get(feature_fn(batch)))[:valid]
-        feats.append(f)
-        labels.append(np.asarray(batch["label"])[:valid])
+    for f, lab, valid in jax.device_get(dev):
+        valid = int(valid) if valid is not None else len(lab)
+        feats.append(np.asarray(f)[:valid])
+        labels.append(np.asarray(lab)[:valid])
     return np.concatenate(feats), np.concatenate(labels)
 
 

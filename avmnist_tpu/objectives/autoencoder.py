@@ -62,6 +62,7 @@ def make_autoencoder_objective(cfg: AutoencoderConfig) -> Objective:
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)  # per-step stream from a per-epoch key (loops.run_epoch passes one key per epoch; zero per-step host dispatches)
         k_mask, k_drop = jax.random.split(rng)
         x = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
         if masked:

@@ -80,6 +80,7 @@ def make_infonce_objective(cfg: InfoNCEConfig) -> Objective:
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)  # per-step stream from a per-epoch key (loops.run_epoch passes one key per epoch; zero per-step host dispatches)
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
 

@@ -148,6 +148,7 @@ def make_unimodal_objective(
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)  # per-step stream from a per-epoch key (loops.run_epoch passes one key per epoch; zero per-step host dispatches)
         x, label = pick(batch), batch["label"]
 
         def loss_fn(params):

@@ -21,6 +21,7 @@ import numpy as np
 
 from avmnist_tpu.data.datasets import Batches, split_train_val
 from avmnist_tpu.data.memmap import load_avmnist
+from avmnist_tpu.data.resident import ResidentSplit, as_resident
 from avmnist_tpu.eval.metrics import (
     compute_classification_metrics,
     write_performance_summary,
@@ -53,8 +54,37 @@ def load_experiment_data(config: Dict, compute_stats: bool = False):
     return train_split, val_split, test
 
 
+def _resident_feature_prog(objective: Objective, key, build):
+    """Cached jitted whole-split scan programs for probe feature extraction —
+    rebuilt lambdas would retrace every epoch, so programs key off the stable
+    (objective, fn) pair and live in objective.meta."""
+    cache = objective.meta.setdefault("_feat_progs", {})
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def _probe_features(objective: Objective, state, data, batch_size=256, feature_fn=None):
     fn = feature_fn or objective.feature_fn
+    if isinstance(data, ResidentSplit):
+        import jax.numpy as jnp
+
+        def build():
+            @jax.jit
+            def prog(state, arrays, plan):
+                def body(_, idx):
+                    batch = {k: v[idx] for k, v in arrays.items()}
+                    return None, fn(state, batch)
+
+                _, feats = jax.lax.scan(body, None, plan)
+                return feats.reshape((-1,) + feats.shape[2:])
+
+            return prog
+
+        prog = _resident_feature_prog(objective, ("feat", id(fn), batch_size), build)
+        plan, _ = data.eval_index(batch_size)
+        feats = prog(state, data.arrays, jnp.asarray(plan))[: data.n]
+        return feats, data.host_labels
     batches = Batches(data, batch_size=batch_size, shuffle=False,
                       drop_remainder=True, pad_final=True)
     return extract_features(lambda b: fn(state, b), batches)
@@ -75,19 +105,66 @@ def _probe_features_bn_train(objective: Objective, state, train_data, eval_datas
     """
     import jax
 
+    from avmnist_tpu.data.datasets import prefetch_to_device
+
     fn_train = objective.meta["feature_fn_train"]
     fn_stats = objective.meta["feature_fn_stats"]
     stats = objective.meta["initial_probe_stats"](state)
     rng = jax.random.key(seed)
+    if isinstance(train_data, ResidentSplit):
+        import jax.numpy as jnp
+
+        def build_train():
+            @jax.jit
+            def prog(state, arrays, plan, rng, stats):
+                def body(stats, args):
+                    i, idx = args
+                    batch = {k: v[idx] for k, v in arrays.items()}
+                    f, stats = fn_train(state, batch, jax.random.fold_in(rng, i), stats)
+                    return stats, f
+
+                stats, feats = jax.lax.scan(
+                    body, stats, (jnp.arange(plan.shape[0]), plan))
+                return feats.reshape((-1,) + feats.shape[2:]), stats
+
+            return prog
+
+        def build_stats():
+            @jax.jit
+            def prog(state, arrays, plan, stats):
+                def body(_, idx):
+                    batch = {k: v[idx] for k, v in arrays.items()}
+                    return None, fn_stats(state, batch, stats)
+
+                _, feats = jax.lax.scan(body, None, plan)
+                return feats.reshape((-1,) + feats.shape[2:])
+
+            return prog
+
+        prog_t = _resident_feature_prog(objective, ("bn_train", batch_size), build_train)
+        prog_s = _resident_feature_prog(objective, ("bn_stats", batch_size), build_stats)
+        plan, _ = train_data.eval_index(batch_size)
+        feats, stats = prog_t(state, train_data.arrays, jnp.asarray(plan), rng, stats)
+        train_out = (feats[: train_data.n], train_data.host_labels)
+        eval_outs = []
+        for d in eval_datas:
+            eplan, _ = d.eval_index(batch_size)
+            ef = prog_s(state, d.arrays, jnp.asarray(eplan), stats)[: d.n]
+            eval_outs.append((ef, d.host_labels))
+        return train_out, eval_outs
+    # Stats chain sequentially on device; features stay on device until one final
+    # device_get (per-batch syncs serialize the loop under the axon TPU relay).
+    dev = []
+    for i, batch in enumerate(prefetch_to_device(
+            Batches(train_data, batch_size=batch_size, shuffle=False,
+                    drop_remainder=True, pad_final=True), size=2)):
+        f, stats = fn_train(state, batch, jax.random.fold_in(rng, i), stats)
+        dev.append((f, batch["label"], batch.get("valid", None)))
     feats, labels = [], []
-    for i, batch in enumerate(Batches(train_data, batch_size=batch_size,
-                                      shuffle=False, drop_remainder=True,
-                                      pad_final=True)):
-        rng, k = jax.random.split(rng)
-        f, stats = fn_train(state, batch, k, stats)
-        valid = int(batch.get("valid", len(batch["label"])))
-        feats.append(np.asarray(jax.device_get(f))[:valid])
-        labels.append(np.asarray(batch["label"])[:valid])
+    for f, lab, valid in jax.device_get(dev):
+        valid = int(valid) if valid is not None else len(lab)
+        feats.append(np.asarray(f)[:valid])
+        labels.append(np.asarray(lab)[:valid])
     train_out = (np.concatenate(feats), np.concatenate(labels))
     eval_outs = [
         extract_features(lambda b: fn_stats(state, b, stats),
@@ -206,6 +283,12 @@ def run_seeds(
     epochs = epochs or hp["num_epochs"]
     probe_bn_mode = ("train" if config.get("reference_faithful", {})
                      .get("probe_bn_train_mode", False) else "eval")
+    if config.get("data", {}).get("resident", True):
+        # One-time HBM placement of all three splits (data/resident.py): epochs
+        # and probes then run as whole-split scans with no per-batch H2D.
+        train_split = as_resident(train_split, mesh)
+        val_split = as_resident(val_split, mesh)
+        test = as_resident(test, mesh)
     results = []
     objective = make_objective()
     init_state = objective.init_fn(jax.random.key(config["experiment"].get("seed", 1)))

@@ -15,9 +15,116 @@ import jax.numpy as jnp
 import numpy as np
 
 from avmnist_tpu.data.datasets import Batches, prefetch_to_device
+from avmnist_tpu.data.resident import ResidentSplit
 from avmnist_tpu.objectives.common import Objective
 from avmnist_tpu.parallel.mesh import batch_sharding, replicate_state
 from avmnist_tpu.train.state import TrainState
+
+
+def resident_gather(data: Dict, idx, mesh=None):
+    """Minibatch by row-gather from resident device arrays (contiguous rows ->
+    HBM-bandwidth gather). Under a mesh the batch is constrained onto the data
+    axis so the step's collectives see the same sharding as the streaming path."""
+    batch = {k: v[idx] for k, v in data.items()}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch = jax.lax.with_sharding_constraint(
+            batch, NamedSharding(mesh, PartitionSpec("data")))
+    batch["valid"] = jnp.asarray(idx.shape[0], jnp.int32)
+    return batch
+
+
+def _resident_programs(objective: Objective, mesh):
+    """Whole-epoch jitted programs over a ResidentSplit, cached per (objective, mesh).
+
+    One dispatch + one host sync per EPOCH: the scan body gathers each minibatch
+    on device and runs the already-jitted step inline. This is the production
+    analog of bench.py's measurement harness — the input pipeline is a 220 KB
+    index-matrix upload, so the 28 MB/s relay H2D path (docs/PERF_NOTES.md)
+    carries no pixels at all."""
+    cache = objective.meta.setdefault("_resident_progs", {})
+    key = None if mesh is None else id(mesh)
+    if key not in cache:
+
+        @jax.jit
+        def train_epoch(state, data, plan, rng):
+            def body(st, idx):
+                st, m = objective.step_fn(st, resident_gather(data, idx, mesh), rng)
+                return st, m
+
+            state, ms = jax.lax.scan(body, state, plan)
+            return state, jax.tree.map(lambda x: x.mean(0), ms)
+
+        eval_epoch = None
+        if objective.eval_fn is not None:
+
+            @jax.jit
+            def eval_epoch(state, data, plan, valids):
+                def body(_, iv):
+                    idx, v = iv
+                    b = resident_gather(data, idx, mesh)
+                    b["valid"] = v
+                    out = objective.eval_fn(state, b)
+                    return None, (out["loss"], out["logits"])
+
+                _, (losses, logits) = jax.lax.scan(body, None, (plan, valids))
+                return losses, logits
+
+        cache[key] = (train_epoch, eval_epoch)
+    return cache[key]
+
+
+def run_epoch_resident(
+    objective: Objective,
+    state: TrainState,
+    data: ResidentSplit,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    rng,
+    mesh=None,
+) -> tuple:
+    """One epoch as ONE jitted scan over a shuffled index plan (bit-identical
+    batch composition to the streaming path: same data_rng(seed, epoch) order)."""
+    train_prog, _ = _resident_programs(objective, mesh)
+    rng, epoch_rng = jax.random.split(rng)
+    plan = data.train_index(batch_size, seed, epoch)
+    n = len(plan)
+    t0 = time.perf_counter()
+    state, ms = train_prog(state, data.arrays, jnp.asarray(plan), epoch_rng)
+    means = {k: float(v) for k, v in jax.device_get(ms).items()}
+    wall = time.perf_counter() - t0
+    means["epoch_time"] = wall
+    means["avg_batch_time"] = wall / max(n, 1)
+    means["samples_per_sec"] = n * batch_size / max(wall, 1e-9)
+    return state, means, rng
+
+
+def evaluate_resident(
+    objective: Objective,
+    state: TrainState,
+    data: ResidentSplit,
+    batch_size: int = 128,
+    mesh=None,
+) -> Dict[str, Any]:
+    """Exact padded eval as one scan; same outputs as ``evaluate``."""
+    _, eval_prog = _resident_programs(objective, mesh)
+    plan, valid = data.eval_index(batch_size)
+    losses, logits = jax.device_get(
+        eval_prog(state, data.arrays, jnp.asarray(plan), jnp.asarray(valid)))
+    logits = np.asarray(logits).reshape(-1, logits.shape[-1])[: data.n]
+    labels = data.host_labels
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    preds = logits.argmax(-1)
+    return {
+        "loss": float(np.mean(losses)),
+        "accuracy": 100.0 * float((preds == labels).mean()),
+        "preds": preds,
+        "probs": probs,
+        "labels": labels,
+    }
 
 
 def run_epoch(
@@ -29,17 +136,25 @@ def run_epoch(
 ) -> tuple:
     """One training epoch. Returns (state, mean-metrics dict, wall stats)."""
     sharding = batch_sharding(mesh) if mesh is not None else None
-    metric_sums: Dict[str, Any] = {}
+    # One rng op per EPOCH: the step_fns fold state.step into this key, so every
+    # step gets a distinct stream with zero per-step host dispatches. Per-step
+    # metric accumulation stays on device scalars appended to a Python list (free);
+    # a single stacked mean + device_get syncs once per epoch. Under the axon TPU
+    # relay each host->device dispatch costs ~2.4 ms — at the reference batch size
+    # (128) the old split+add-per-step loop burned 24 ms/step against an 11.8 ms
+    # device step (measured v5e, DINO multi_central; docs/PERF_NOTES.md).
+    rng, epoch_rng = jax.random.split(rng)
+    metric_steps: List[Dict[str, Any]] = []
     n = 0
     t0 = time.perf_counter()
     for batch in prefetch_to_device(batches, size=2, sharding=sharding):
-        rng, step_rng = jax.random.split(rng)
-        state, metrics = objective.step_fn(state, batch, step_rng)
-        for k, v in metrics.items():
-            metric_sums[k] = metric_sums.get(k, 0.0) + v
+        state, metrics = objective.step_fn(state, batch, epoch_rng)
+        metric_steps.append(metrics)
         n += 1
-    # Single host sync per epoch.
-    means = {k: float(jax.device_get(v)) / n for k, v in metric_sums.items()}
+    means = {}
+    if metric_steps:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *metric_steps)
+        means = {k: float(v) for k, v in jax.device_get(stacked).items()}
     wall = time.perf_counter() - t0
     means["epoch_time"] = wall
     means["avg_batch_time"] = wall / max(n, 1)
@@ -56,14 +171,20 @@ def evaluate(
 ) -> Dict[str, Any]:
     """Exact eval over a (padded) split: returns mean loss, accuracy, preds/probs."""
     sharding = batch_sharding(mesh) if mesh is not None else None
-    losses, n_correct, n_total = [], 0, 0
-    all_logits, all_labels = [], []
+    # Keep every per-batch output on device; sync the host exactly once at the end
+    # (per-batch device_get serialized the loop under the axon relay).
+    dev = []
     for batch in prefetch_to_device(batches, size=2, sharding=sharding):
         out = objective.eval_fn(state, batch)
-        valid = int(jax.device_get(batch["valid"])) if "valid" in batch else len(batch["label"])
-        logits = np.asarray(jax.device_get(out["logits"]))[:valid]
-        labels = np.asarray(jax.device_get(batch["label"]))[:valid]
-        losses.append(float(jax.device_get(out["loss"])))
+        dev.append((out["loss"], out["logits"], batch["label"],
+                    batch.get("valid", None)))
+    losses, n_correct, n_total = [], 0, 0
+    all_logits, all_labels = [], []
+    for loss, logits, labels, valid in jax.device_get(dev):
+        valid = int(valid) if valid is not None else len(labels)
+        logits = np.asarray(logits)[:valid]
+        labels = np.asarray(labels)[:valid]
+        losses.append(float(loss))
         n_correct += int((logits.argmax(-1) == labels).sum())
         n_total += valid
         all_logits.append(logits)
@@ -102,15 +223,24 @@ def fit(
         state = objective.init_fn(init_rng)
     if mesh is not None:
         state = replicate_state(state, mesh)
-    batches = Batches(train_data, batch_size=batch_size, shuffle=True, seed=seed)
+    resident = isinstance(train_data, ResidentSplit)
+    if not resident:
+        batches = Batches(train_data, batch_size=batch_size, shuffle=True, seed=seed)
     history: List[Dict] = []
     t_start = time.perf_counter()
     for epoch in range(epochs):
-        state, metrics, rng = run_epoch(objective, state, batches, rng, mesh)
+        if resident:
+            state, metrics, rng = run_epoch_resident(
+                objective, state, train_data, batch_size, seed, epoch, rng, mesh)
+        else:
+            state, metrics, rng = run_epoch(objective, state, batches, rng, mesh)
         if val_data is not None and objective.eval_fn is not None:
-            val_batches = Batches(val_data, batch_size=batch_size, shuffle=False,
-                                  drop_remainder=True, pad_final=True)
-            val = evaluate(objective, state, val_batches, mesh)
+            if isinstance(val_data, ResidentSplit):
+                val = evaluate_resident(objective, state, val_data, batch_size, mesh)
+            else:
+                val_batches = Batches(val_data, batch_size=batch_size, shuffle=False,
+                                      drop_remainder=True, pad_final=True)
+                val = evaluate(objective, state, val_batches, mesh)
             metrics["val_loss"] = val["loss"]
             metrics["val_accuracy"] = val["accuracy"]
         if on_epoch_end is not None:

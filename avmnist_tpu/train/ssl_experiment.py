@@ -14,6 +14,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import jax
 import numpy as np
 
+from avmnist_tpu.data.resident import as_resident
 from avmnist_tpu.eval.metrics import write_performance_summary
 from avmnist_tpu.eval.probes import knn_probe, train_linear_probe
 from avmnist_tpu.objectives.common import Objective
@@ -52,6 +53,10 @@ def train_and_evaluate_ssl(
     """Multi-seed SSL pretraining + per-modality probing (ssl_train.py:75-243)."""
     hp = config["hyperparameters"]
     epochs = epochs or hp["num_epochs"]
+    if config.get("data", {}).get("resident", True):
+        train_split = as_resident(train_split, mesh)
+        val_split = as_resident(val_split, mesh)
+        test = as_resident(test, mesh)
     objective = make_objective()
     init_state = objective.init_fn(jax.random.key(config["experiment"].get("seed", 1)))
     modalities = sorted(objective.meta.get("feature_fns", {"audio": None}))
@@ -98,7 +103,11 @@ def late_fusion_features(objective: Objective, state, data, fusion: str = "conca
     xi, labels = _probe_features(objective, state, data, feature_fn=fi)
     xa, _ = _probe_features(objective, state, data, feature_fn=fa)
     if fusion == "concat":
-        return np.concatenate([xi, xa], axis=1), labels
+        import jax.numpy as jnp
+
+        # jnp keeps resident features on device (a 56 MB D2H pull costs ~2 s
+        # through the relay); np inputs pass through unchanged.
+        return jnp.concatenate([jnp.asarray(xi), jnp.asarray(xa)], axis=1), labels
     if fusion == "sum":
         return xi + xa, labels
     if fusion == "mean":
@@ -118,6 +127,8 @@ def evaluate_multimodal_ssl(
     fusion: str = "concat",
 ) -> Dict:
     """Late-fusion probe over per-seed checkpoints (ssl_train.py:294-359)."""
+    train_split, val_split, test = (as_resident(train_split), as_resident(val_split),
+                                    as_resident(test))
     acc = {"knn_acc": [], "mlp_acc": []}
     for i, path in enumerate(checkpoint_paths):
         state = load_checkpoint(path, template_state)

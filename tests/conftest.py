@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is compile-dominated on the 1-core CI host,
+# and programs are identical between runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
