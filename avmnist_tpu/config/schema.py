@@ -110,4 +110,14 @@ def update_hardware_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         hw["num_gpus"] = int(os.environ["SLURM_GPUS"])
     if "TPU_CHIPS" in os.environ:
         hw["num_chips"] = int(os.environ["TPU_CHIPS"])
+    # Persistent XLA compile cache for every CLI entry: first-compile of the
+    # whole-epoch programs is minutes; identical reruns should pay zero.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     return cfg

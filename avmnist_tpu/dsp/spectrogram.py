@@ -141,8 +141,25 @@ def wav_to_spectrogram(wave: jnp.ndarray, fs: float = 8000.0) -> jnp.ndarray:
     return render_gray_r(10.0 * jnp.log10(psd_specgram(wave, fs)), internal)
 
 
+def specgram_pallas_enabled() -> bool:
+    """Route the batched PSD stage through ops.pallas_specgram (fused framing +
+    windowed-DFT matmuls + PSD in VMEM) instead of gather + jnp.fft. Opt-in via
+    ``AVMNIST_PALLAS_SPECGRAM=1``; default OFF pending a measured win on the
+    generation pipeline (the A/B is recorded in docs/PERF_NOTES.md)."""
+    import os
+
+    return os.environ.get("AVMNIST_PALLAS_SPECGRAM", "0").lower() in ("1", "true", "on")
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "internal_hw"))
 def _batch_render(waves, fs, internal_hw):
+    if specgram_pallas_enabled():
+        from avmnist_tpu.ops.pallas_specgram import psd_specgram_pallas
+
+        specs = psd_specgram_pallas(waves, fs)  # (B, 129, nf)
+        return jax.vmap(
+            lambda Z: render_gray_r(10.0 * jnp.log10(Z), internal_hw))(specs)
+
     def one(w):
         return render_gray_r(10.0 * jnp.log10(psd_specgram(w, fs)), internal_hw)
 
