@@ -73,12 +73,28 @@ def _where_gate(gate: Optional[Array], on: Array, off) -> Array:
     return on if gate is None else jnp.where(gate, on, off)
 
 
+def _nearest_warp() -> bool:
+    """Ablation toggle (docs/DEVIATIONS.md "Rotation/affine interpolation"):
+    AVMNIST_NEAREST_WARP=1 switches every composed resample to nearest-neighbor
+    — torchvision's default for RandomRotation/RandomAffine — instead of
+    bilinear. Read at trace time; used to measure the interpolation-mode
+    contribution to the accuracy-parity budget, not as a production mode (the
+    reference mixes NEAREST rotations with BILINEAR crops per op; this
+    framework composes a chain into one resample, so the mode is global)."""
+    import os
+
+    return os.environ.get("AVMNIST_NEAREST_WARP", "0").lower() in ("1", "true", "on")
+
+
 def _interp_matrix(coords: Array, n_in: int) -> Array:
-    """Bilinear interpolation matrices from per-sample source coordinates.
+    """Interpolation matrices from per-sample source coordinates.
 
     coords (N, n_out): source position of every output pixel; returns (N, n_out, n_in)
-    hat-function weights — zero outside [0, n_in-1], which IS zero-fill bilinear."""
+    hat-function weights — zero outside [0, n_in-1], which IS zero-fill bilinear.
+    Under the nearest-warp ablation the hat collapses to a one-hot at round(coord)."""
     j = jnp.arange(n_in, dtype=jnp.float32)
+    if _nearest_warp():
+        return (jnp.round(coords[..., None]) == j).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - j))
 
 
@@ -113,8 +129,8 @@ def _dense_bilinear(imgs: Array, in_x: Array, in_y: Array,
     n, h, w = imgs.shape
     ix = in_x.reshape(n, oh * ow)
     iy = in_y.reshape(n, oh * ow)
-    ax = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None] - jnp.arange(w, dtype=jnp.float32)))
-    by = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None] - jnp.arange(h, dtype=jnp.float32)))
+    ax = _interp_matrix(ix, w)
+    by = _interp_matrix(iy, h)
     c = jnp.einsum("now,nhw->noh", ax, imgs)
     return jnp.sum(by * c, axis=-1).reshape(n, oh, ow)
 
@@ -144,6 +160,9 @@ def batched_affine_gather(imgs: Array, mats: Array,
             + mats[:, 1, 2, None, None])
     if oh * ow <= _DENSE_WARP_MAX_PIXELS:
         return _dense_bilinear(imgs, in_x, in_y, oh, ow)
+    if _nearest_warp():  # ablation: one-tap rounded gather instead of 4-tap
+        in_x = jnp.round(in_x)
+        in_y = jnp.round(in_y)
     x0 = jnp.floor(in_x)
     y0 = jnp.floor(in_y)
     wx = in_x - x0
@@ -179,20 +198,60 @@ def random_resized_crop_mats(
     scale: Tuple[float, float], ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
     p: float = 1.0,
 ) -> Array:
-    """torchvision RandomResizedCrop box sampling (single-shot, clamped -- torchvision
-    retries 10x then center-crops; the clamp keeps the same support). Returns (N,3,3).
+    """torchvision RandomResizedCrop box sampling. Default: single-shot with
+    clamping (same support as torchvision's 10-retry + center-crop fallback,
+    slightly different density at the extremes — docs/DEVIATIONS.md).
+    ``AVMNIST_RRC_RETRY=1`` (trace-time ablation toggle) reproduces the
+    torchvision sampler exactly: 10 vectorized candidate draws, first in-bounds
+    candidate wins, center-crop fallback with ratio clamped to the valid range
+    (torchvision transforms.RandomResizedCrop.get_params). Returns (N,3,3).
     RandomApply(p) gates the sampled box back to the full image."""
+    import os
+
     H, W = in_hw
     oh, ow = out_hw
     k0, k1, k2, k3, k4 = jax.random.split(key, 5)
     gate = _gate(k0, p, n)
-    area = H * W * jax.random.uniform(k1, (n,), minval=scale[0], maxval=scale[1])
-    r = jnp.exp(jax.random.uniform(k2, (n,), minval=jnp.log(ratio[0]),
-                                   maxval=jnp.log(ratio[1])))
-    w = _where_gate(gate, jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, W), float(W))
-    h = _where_gate(gate, jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, H), float(H))
-    top = _where_gate(gate, jax.random.uniform(k3, (n,)) * (H - h), 0.0)
-    left = _where_gate(gate, jax.random.uniform(k4, (n,)) * (W - w), 0.0)
+    retry = os.environ.get("AVMNIST_RRC_RETRY", "0").lower() in ("1", "true", "on")
+    if retry:
+        R = 10
+        area = H * W * jax.random.uniform(k1, (R, n), minval=scale[0], maxval=scale[1])
+        r = jnp.exp(jax.random.uniform(k2, (R, n), minval=jnp.log(ratio[0]),
+                                       maxval=jnp.log(ratio[1])))
+        wc = jnp.round(jnp.sqrt(area * r))
+        hc = jnp.round(jnp.sqrt(area / r))
+        ok = (wc > 0) & (wc <= W) & (hc > 0) & (hc <= H)
+        pick = jnp.argmax(ok, axis=0)  # first valid candidate
+        any_ok = ok.any(axis=0)
+        wi = jnp.take_along_axis(wc, pick[None], 0)[0]
+        hi = jnp.take_along_axis(hc, pick[None], 0)[0]
+        # torchvision fallback: clamp aspect to the valid range, center crop
+        in_ratio = W / H
+        fb_w = jnp.where(in_ratio < ratio[0], float(W), jnp.round(H * ratio[1]))
+        fb_h = jnp.where(in_ratio < ratio[0], jnp.round(W / ratio[0]), float(H))
+        fb_w = jnp.where((in_ratio >= ratio[0]) & (in_ratio <= ratio[1]), float(W), fb_w)
+        fb_h = jnp.where((in_ratio >= ratio[0]) & (in_ratio <= ratio[1]), float(H), fb_h)
+        w = jnp.where(any_ok, wi, fb_w)
+        h = jnp.where(any_ok, hi, fb_h)
+        u_top = jax.random.uniform(k3, (n,))
+        u_left = jax.random.uniform(k4, (n,))
+        # retries draw integer positions; fallback centers the crop
+        top = jnp.where(any_ok, jnp.floor(u_top * (H - h + 1)),
+                        jnp.round((H - h) / 2.0))
+        left = jnp.where(any_ok, jnp.floor(u_left * (W - w + 1)),
+                         jnp.round((W - w) / 2.0))
+        w = _where_gate(gate, w, float(W))
+        h = _where_gate(gate, h, float(H))
+        top = _where_gate(gate, top, 0.0)
+        left = _where_gate(gate, left, 0.0)
+    else:
+        area = H * W * jax.random.uniform(k1, (n,), minval=scale[0], maxval=scale[1])
+        r = jnp.exp(jax.random.uniform(k2, (n,), minval=jnp.log(ratio[0]),
+                                       maxval=jnp.log(ratio[1])))
+        w = _where_gate(gate, jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, W), float(W))
+        h = _where_gate(gate, jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, H), float(H))
+        top = _where_gate(gate, jax.random.uniform(k3, (n,)) * (H - h), 0.0)
+        left = _where_gate(gate, jax.random.uniform(k4, (n,)) * (W - w), 0.0)
     sx = w / ow
     sy = h / oh
     return jax.vmap(_mat)(sx, sy, left + 0.5 * sx - 0.5, top + 0.5 * sy - 0.5)

@@ -151,11 +151,34 @@ def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
                            method=method)
         return z.astype(jnp.float32), cast_tree(upd["batch_stats"], jnp.float32)
 
+    def _torch_branch_semantics() -> bool:
+        """Ablation toggle (docs/DEVIATIONS.md "Training-dynamics notes"):
+        AVMNIST_TORCH_ADAM_BRANCHES=1 reproduces torch's grad=None handling —
+        params AND Adam moments of the encoders a mode does not touch stay
+        frozen, instead of optax's zero-grad decay + momentum coasting. The
+        global Adam step count still advances (optax has one count; torch keeps
+        per-param steps), so bias correction differs negligibly for long runs."""
+        import os
+
+        return os.environ.get("AVMNIST_TORCH_ADAM_BRANCHES", "0").lower() in (
+            "1", "true", "on")
+
     def _make_branch(v1_image: bool, v2_image: bool):
         """One per-mode training step (multimodal_simclr.py:31-46). Only the two
         encoders the mode selects are executed — matching the reference's compute —
         and lax.switch over WHOLE steps keeps flax's mutable collections out of the
         branch boundary."""
+        frozen: tuple = ()
+        if not cfg.audio_only and _torch_branch_semantics():
+            if v1_image and v2_image:
+                frozen = ("audio_encoder", "audio_projection_head")
+            elif not (v1_image or v2_image):
+                frozen = ("image_encoder", "image_projection_head")
+
+        def _restore(new_tree, old_tree):
+            """Per-top-level-key select: frozen subtrees keep their old leaves."""
+            return {k: (old_tree[k] if k in frozen else v)
+                    for k, v in new_tree.items()}
 
         def branch(operands):
             state, img1, aud1, img2, aud2, k_net = operands
@@ -172,6 +195,13 @@ def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
                 state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            if frozen:
+                params = _restore(params, state.params)
+                opt_state = jax.tree.map(
+                    lambda n, o: (_restore(n, o)
+                                  if isinstance(n, dict) and frozen[0] in n else n),
+                    opt_state, state.opt_state,
+                    is_leaf=lambda x: isinstance(x, dict) and frozen[0] in x)
             return state.replace(step=state.step + 1, params=params,
                                  batch_stats=new_stats, opt_state=opt_state), loss
 

@@ -171,3 +171,41 @@ def test_audio_chain_uses_matmul_path():
 
     assert not any(_op_has_rotation(s) for s in AUDIO_GLOBAL)
     assert not any(_op_has_rotation(s) for s in AUDIO_LOCAL)
+
+
+def test_nearest_warp_ablation_toggle(monkeypatch):
+    """AVMNIST_NEAREST_WARP=1 makes every interp row a one-hot at round(coord)
+    (torchvision RandomRotation/RandomAffine default NEAREST; DEVIATIONS.md)."""
+    coords = jnp.asarray([[0.2, 3.6, 27.4, -1.2, 28.4]])
+    monkeypatch.setenv("AVMNIST_NEAREST_WARP", "1")
+    m = np.asarray(F._interp_matrix(coords, 28))
+    assert set(np.unique(m)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(m[0].sum(axis=-1), [1, 1, 1, 0, 0])  # OOB rows zero
+    assert m[0, 0, 0] == 1 and m[0, 1, 4] == 1 and m[0, 2, 27] == 1
+    monkeypatch.delenv("AVMNIST_NEAREST_WARP")
+    m2 = np.asarray(F._interp_matrix(coords, 28))
+    assert np.abs(m2[0, 0, 0] - 0.8) < 1e-6  # bilinear hat restored
+
+
+def test_rrc_retry_ablation_matches_torchvision_sampler(monkeypatch):
+    """AVMNIST_RRC_RETRY=1: boxes come from the exact 10-retry torchvision
+    sampler — always in-bounds, integer top-left, same support as single-shot."""
+    monkeypatch.setenv("AVMNIST_RRC_RETRY", "1")
+    n = 512
+    mats = F.random_resized_crop_mats(jax.random.key(0), n, (112, 112), (112, 112),
+                                      scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3))
+    monkeypatch.delenv("AVMNIST_RRC_RETRY")
+    mats = np.asarray(mats)
+    sx, sy = mats[:, 0, 0], mats[:, 1, 1]
+    left = mats[:, 0, 2] - 0.5 * sx + 0.5
+    top = mats[:, 1, 2] - 0.5 * sy + 0.5
+    w, h = sx * 112, sy * 112
+    assert (w >= 1).all() and (w <= 112).all() and (h >= 1).all() and (h <= 112).all()
+    assert (left >= 0).all() and (left + w <= 112 + 1e-3).all()
+    assert (top >= 0).all() and (top + h <= 112 + 1e-3).all()
+    np.testing.assert_allclose(left, np.round(left), atol=1e-4)  # integer positions
+    # aspect ratio near the log-uniform range (integer rounding distorts small
+    # boxes — torchvision's sampler has the identical property)
+    r = w / h
+    assert (r >= 0.5).all() and (r <= 2.0).all()
+    assert np.median(r) > 0.8 and np.median(r) < 1.25

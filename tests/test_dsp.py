@@ -81,3 +81,19 @@ def test_batched_render_consistent():
     assert batch.shape == (4, 112, 112) and batch.dtype == np.uint8
     single = wav_to_spectrogram_batch(waves[1:2])[0]
     np.testing.assert_array_equal(batch[1], single)
+
+
+def test_batched_render_pallas_flag_matches_xla(monkeypatch):
+    """AVMNIST_PALLAS_SPECGRAM=1 routes the PSD stage through the pallas kernel
+    (interpret mode on CPU) and must render the same uint8 images +/-1."""
+    from avmnist_tpu.dsp import spectrogram as sg
+
+    waves = np.stack([make_wave(4000, s) for s in range(3)])
+    base = wav_to_spectrogram_batch(waves)
+    monkeypatch.setenv("AVMNIST_PALLAS_SPECGRAM", "1")
+    sg._batch_render.clear_cache()  # flag is read at trace time
+    flagged = wav_to_spectrogram_batch(waves)
+    monkeypatch.delenv("AVMNIST_PALLAS_SPECGRAM")
+    sg._batch_render.clear_cache()
+    diff = np.abs(base.astype(int) - flagged.astype(int))
+    assert diff.max() <= 1

@@ -263,3 +263,39 @@ def test_probe_bn_train_mode(synthetic_arrays):
     assert len(tf) == len(train.labels) and len(vf) == len(test.labels)
     out = train_linear_probe(tf, tl, vf, vl, epochs=1)
     assert np.isfinite(out["accuracy"])
+
+
+def test_torch_adam_branch_semantics(monkeypatch, synthetic_arrays):
+    """AVMNIST_TORCH_ADAM_BRANCHES=1 freezes params+moments of the encoders a
+    SimCLR mode does not touch (torch grad=None semantics, DEVIATIONS.md)."""
+    train, _ = synthetic_arrays
+    from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
+
+    monkeypatch.setenv("AVMNIST_TORCH_ADAM_BRANCHES", "1")
+    obj = make_simclr_objective(SimCLRConfig(output_dim=16, projection_dim=8))
+    monkeypatch.delenv("AVMNIST_TORCH_ADAM_BRANCHES")
+    state = obj.init_fn(jax.random.key(0))
+    batch = next(iter(Batches(train, batch_size=16, shuffle=False)))
+    rng = jax.random.key(2)
+    hit = set()
+    for _ in range(20):
+        prev = jax.tree.map(lambda x: np.asarray(x), state.params)
+        state, m = obj.step_fn(state, batch, rng)
+        mode = int(m["mode"])
+
+        def same(key):
+            return all(np.array_equal(a, np.asarray(b)) for a, b in zip(
+                jax.tree.leaves(prev[key]),
+                jax.tree.leaves(state.params[key])))
+
+        if mode == 0:  # img-img: audio branch must be bitwise frozen
+            assert same("audio_encoder") and same("audio_projection_head")
+            assert not same("image_encoder")
+            hit.add(0)
+        elif mode == 1:  # aud-aud: image branch frozen
+            assert same("image_encoder") and same("image_projection_head")
+            assert not same("audio_encoder")
+            hit.add(1)
+        if hit == {0, 1}:
+            break
+    assert hit == {0, 1}, f"modes seen: {hit}"
