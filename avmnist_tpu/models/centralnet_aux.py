@@ -2,12 +2,11 @@
 
 The live CentralNet path uses only GlobalPooling2D (SURVEY.md §2b); the remaining ops
 below (padding helpers, Maxout, alpha-blending) are provided for component parity.
-The ~350-LoC MFAS neural-architecture-search machinery (Cell/FixedCell/CellBlock/
-CreateOp/DropPath/FactorizedReduction/ConvBranch/PoolBranch/SeparableConv/
-AuxiliaryHead, aux_models.py:151-539) is NOT re-implemented: it is dead code in the
-reference (never imported by any live or archived driver) inherited from the upstream
-MFAS repo; the functional pieces it would need (conv blocks, pooling, factorized
-reductions) all exist in this framework's layer library.
+The MFAS neural-architecture-search machinery (Cell/FixedCell/CellBlock/CreateOp/
+DropPath/FactorizedReduction/ConvBranch/PoolBranch/SeparableConv/AuxiliaryHead,
+aux_models.py:151-539) lives in models/mfas.py — dead code in the reference (never
+imported by any live or archived driver) but re-implemented for full component
+parity.
 """
 from __future__ import annotations
 
