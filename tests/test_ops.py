@@ -134,3 +134,26 @@ def test_conv_bn_relu_fused_path_checkpoint_compatible(fused_interpret):
     g_u = jax.grad(loss)(variables["params"], False)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4), g_f, g_u)
+
+
+def test_bn_relu_pool_wide_channels(fused_interpret):
+    """C >= 128: the w-chunk IS a full lane group; rolls shift whole vregs."""
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.normal(size=(2, 4, 4, 128)).astype(np.float32))
+    gamma = jnp.asarray(1 + 0.1 * rng.normal(size=(128,)).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.normal(size=(128,)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(2, 2, 2, 128)).astype(np.float32))
+
+    def s(fn):
+        def loss(y_, g_, b_):
+            out, _, _ = fn(y_, g_, b_)
+            return (out * cot).sum()
+        v, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(y, gamma, beta)
+        return v, grads
+
+    vp, gp = s(pallas_fused.bn_relu_pool)
+    vr, gr = s(pallas_fused.bn_relu_pool_reference)
+    np.testing.assert_allclose(float(vp), float(vr), rtol=1e-5)
+    for a, b, nm in zip(gp, gr, ("dy", "dgamma", "dbeta")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=nm)
