@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests on CPU
-ROWS = 32  # rows per grid block: even (H-pool pairs) and sublane-aligned
+ROWS = 64  # row-pairs per grid block (each block row = TWO image rows in lanes)
 
 
 def fused_enabled() -> bool:
@@ -69,45 +69,46 @@ def _lane_chunk_parity(L: int, C: int):
     return ((lane // C) % 2).astype(jnp.float32)
 
 
-def _row_parity(R: int):
-    r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    return (r % 2).astype(jnp.float32)
-
-
 def _fwd_kernel(x_ref, scale_ref, shift_ref, out_ref, *, C: int):
+    # Block row = TWO image rows side by side in lanes: x (R, 2L). The H-pool is
+    # a lane-half max (vreg-aligned slices, no sublane shuffles at all).
     x = x_ref[...].astype(jnp.float32)
-    z = jnp.maximum(x * scale_ref[...] + shift_ref[...], 0.0)
-    p = jnp.maximum(z, _roll(z, -C, 1))  # W-pool, valid at even w-chunks
-    R, L = p.shape
-    ph = p.reshape(R // 2, 2, L)
-    out_ref[...] = jnp.maximum(ph[:, 0], ph[:, 1]).astype(out_ref.dtype)
+    L = scale_ref.shape[1]
+    s, t = scale_ref[...], shift_ref[...]
+    zt = jnp.maximum(x[:, :L] * s + t, 0.0)
+    zb = jnp.maximum(x[:, L:] * s + t, 0.0)
+    p = jnp.maximum(jnp.maximum(zt, _roll(zt, -C, 1)),
+                    jnp.maximum(zb, _roll(zb, -C, 1)))
+    out_ref[...] = p.astype(out_ref.dtype)  # valid at even w-chunks
 
 
 def _window_ctx(x, g, scale_ref, shift_ref, C: int):
-    """Shared bwd recompute: z, upsampled window max / pooled grad, and dz with
-    first-max (row-major window order) tie-breaking."""
-    R, L = x.shape
-    z = jnp.maximum(x * scale_ref[...] + shift_ref[...], 0.0)
-    p = jnp.maximum(z, _roll(z, -C, 1))
-    ph = p.reshape(R // 2, 2, L)
-    m = jnp.maximum(ph[:, 0], ph[:, 1])  # (R/2, L) window max at even chunks
-    ch_par = _lane_chunk_parity(L, C)
-    row_par = _row_parity(R)
+    """Shared bwd recompute in the lane-pair layout: returns (dz_t, dz_b) — the
+    pre-relu grads of the top/bottom image rows — with first-max (row-major
+    window order: (t,w0) < (t,w1) < (b,w0) < (b,w1)) tie-breaking."""
+    L = scale_ref.shape[1]
+    s, t = scale_ref[...], shift_ref[...]
+    zt = jnp.maximum(x[:, :L] * s + t, 0.0)
+    zb = jnp.maximum(x[:, L:] * s + t, 0.0)
+    m = jnp.maximum(jnp.maximum(zt, _roll(zt, -C, 1)),
+                    jnp.maximum(zb, _roll(zb, -C, 1)))  # window max at even chunks
+    ch = _lane_chunk_parity(L, C)
 
-    def up(a):  # (R/2, L) valid at even chunks -> (R, L) full resolution
-        wide = jnp.where(ch_par > 0, _roll(a, C, 1), a)
-        return jnp.broadcast_to(wide[:, None, :], (R // 2, 2, L)).reshape(R, L)
+    def widen(a):  # valid-at-even-chunks -> every chunk holds its window value
+        return jnp.where(ch > 0, _roll(a, C, 1), a)
 
-    m_full = up(m)
-    g_full = up(g)
-    raw = ((z == m_full) & (m_full > 0.0)).astype(jnp.float32)
-    # candidates earlier in row-major window order
-    pre = _roll(raw, C, 1) * ch_par                       # (r, w0) before (r, w1)
-    pre += _roll(raw, 1, 0) * row_par                     # (r0, w) before (r1, w)
-    pre += _roll(_roll(raw, C, 1), 1, 0) * row_par * ch_par        # (r0,w0)<(r1,w1)
-    pre += _roll(_roll(raw, -C, 1), 1, 0) * row_par * (1.0 - ch_par)  # (r0,w1)<(r1,w0)
-    dz = g_full * raw * (pre == 0.0).astype(jnp.float32)
-    return z, dz
+    m_w = widen(m)
+    g_w = widen(g)
+    raw_t = ((zt == m_w) & (m_w > 0.0)).astype(jnp.float32)
+    raw_b = ((zb == m_w) & (m_w > 0.0)).astype(jnp.float32)
+    # earlier candidates, row-major: top-w0, top-w1, bottom-w0, bottom-w1
+    pre_t = _roll(raw_t, C, 1) * ch
+    win_t = jnp.where(ch > 0, raw_t + _roll(raw_t, C, 1),
+                      raw_t + _roll(raw_t, -C, 1))
+    pre_b = win_t + _roll(raw_b, C, 1) * ch
+    dz_t = g_w * raw_t * (pre_t == 0.0).astype(jnp.float32)
+    dz_b = g_w * raw_b * (pre_b == 0.0).astype(jnp.float32)
+    return dz_t, dz_b
 
 
 def _bwd1_kernel(x_ref, g_ref, scale_ref, shift_ref, mean_ref, rstd_ref,
@@ -121,20 +122,25 @@ def _bwd1_kernel(x_ref, g_ref, scale_ref, shift_ref, mean_ref, rstd_ref,
 
     x = x_ref[...].astype(jnp.float32)
     g = g_ref[...].astype(jnp.float32)
-    _, dz = _window_ctx(x, g, scale_ref, shift_ref, C)
-    yhat = (x - mean_ref[...]) * rstd_ref[...]
-    sdz_ref[0, :] += jnp.sum(dz, axis=0)
-    sdzy_ref[0, :] += jnp.sum(dz * yhat, axis=0)
+    dz_t, dz_b = _window_ctx(x, g, scale_ref, shift_ref, C)
+    L = dz_t.shape[1]
+    yhat_t = (x[:, :L] - mean_ref[...]) * rstd_ref[...]
+    yhat_b = (x[:, L:] - mean_ref[...]) * rstd_ref[...]
+    sdz_ref[0, :] += jnp.sum(dz_t + dz_b, axis=0)
+    sdzy_ref[0, :] += jnp.sum(dz_t * yhat_t + dz_b * yhat_b, axis=0)
 
 
 def _bwd2_kernel(x_ref, g_ref, scale_ref, shift_ref, mean_ref, rstd_ref,
                  mdz_ref, mdzy_ref, dy_ref, *, C: int):
     x = x_ref[...].astype(jnp.float32)
     g = g_ref[...].astype(jnp.float32)
-    _, dz = _window_ctx(x, g, scale_ref, shift_ref, C)
-    yhat = (x - mean_ref[...]) * rstd_ref[...]
-    dy = scale_ref[...] * (dz - mdz_ref[...] - yhat * mdzy_ref[...])
-    dy_ref[...] = dy.astype(dy_ref.dtype)
+    dz_t, dz_b = _window_ctx(x, g, scale_ref, shift_ref, C)
+    L = dz_t.shape[1]
+    yhat_t = (x[:, :L] - mean_ref[...]) * rstd_ref[...]
+    yhat_b = (x[:, L:] - mean_ref[...]) * rstd_ref[...]
+    dy_t = scale_ref[...] * (dz_t - mdz_ref[...] - yhat_t * mdzy_ref[...])
+    dy_b = scale_ref[...] * (dz_b - mdz_ref[...] - yhat_b * mdzy_ref[...])
+    dy_ref[...] = jnp.concatenate([dy_t, dy_b], axis=1).astype(dy_ref.dtype)
 
 
 def _pack_vec(v, w: int):
@@ -147,21 +153,19 @@ def _vec_spec(L):
 
 
 def _row_block(rows_total: int) -> int:
-    """Largest even divisor of rows_total at most ROWS (rows_total = B*H is
-    always even; H-pool pairs must stay block-local, hence even)."""
+    """Largest divisor of rows_total at most ROWS (each row is a full pair of
+    image rows, so no parity constraint)."""
     r = min(ROWS, rows_total)
-    if r % 2:
+    while r > 1 and rows_total % r:
         r -= 1
-    while r > 2 and rows_total % r:
-        r -= 2
-    return max(r, 2)
+    return max(r, 1)
 
 
-def _specs(rows_total: int, L: int):
-    rb = _row_block(rows_total)
-    grid = (rows_total // rb,)
-    x_spec = pl.BlockSpec((rb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((rb // 2, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _specs(rows_pairs: int, L: int):
+    rb = _row_block(rows_pairs)
+    grid = (rows_pairs // rb,)
+    x_spec = pl.BlockSpec((rb, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((rb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return grid, x_spec, g_spec
 
 
@@ -183,16 +187,16 @@ def _fused_fwd_out(y, scale, shift):
         # (ConvBNRelu) must route odd shapes through the unfused path.
         raise ValueError(f"fused bn_relu_pool needs even H/W, got {y.shape}")
     L = w * c
-    rows = b * h
-    grid, x_spec, out_spec = _specs(rows, L)
+    pairs = b * h // 2
+    grid, x_spec, out_spec = _specs(pairs, L)
     out_sparse = pl.pallas_call(
         functools.partial(_fwd_kernel, C=c),
         grid=grid,
         in_specs=[x_spec, _vec_spec(L), _vec_spec(L)],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((rows // 2, L), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((pairs, L), y.dtype),
         interpret=_INTERPRET,
-    )(y.reshape(rows, L), _pack_vec(scale, w), _pack_vec(shift, w))
+    )(y.reshape(pairs, 2 * L), _pack_vec(scale, w), _pack_vec(shift, w))
     return _sparse_to_dense(out_sparse, b, h, w, c)
 
 
@@ -200,10 +204,10 @@ def _fused_bwd(y, g, scale, shift, mean, rstd) -> Tuple[jnp.ndarray, jnp.ndarray
     """Returns (dy, sdz, sdzy): input grad + per-channel sums of dz and dz*yhat."""
     b, h, w, c = y.shape
     L = w * c
-    rows = b * h
-    grid, x_spec, g_spec = _specs(rows, L)
+    pairs = b * h // 2
+    grid, x_spec, g_spec = _specs(pairs, L)
     part_spec = pl.BlockSpec((8, L), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    X = y.reshape(rows, L)
+    X = y.reshape(pairs, 2 * L)
     G = _dense_to_sparse(g, b, h, w, c)
     vecs = [_pack_vec(scale, w), _pack_vec(shift, w),
             _pack_vec(mean, w), _pack_vec(rstd, w)]
@@ -226,7 +230,7 @@ def _fused_bwd(y, g, scale, shift, mean, rstd) -> Tuple[jnp.ndarray, jnp.ndarray
         grid=grid,
         in_specs=[x_spec, g_spec] + [_vec_spec(L)] * 6,
         out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, L), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((pairs, 2 * L), y.dtype),
         interpret=_INTERPRET,
     )(X, G, *vecs, _pack_vec(sdz / n, w), _pack_vec(sdzy / n, w))
     return dy.reshape(b, h, w, c), sdz, sdzy

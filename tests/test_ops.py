@@ -157,3 +157,27 @@ def test_bn_relu_pool_wide_channels(fused_interpret):
     for a, b, nm in zip(gp, gr, ("dy", "dgamma", "dbeta")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-4, err_msg=nm)
+
+
+def test_nt_xent_pallas_loss_and_grads_match_xla(monkeypatch):
+    """The flag-routed pallas NT-Xent path (custom_vjp: pallas fwd in interpret
+    mode + analytic XLA bwd) matches the plain XLA loss to float tolerance."""
+    from avmnist_tpu.objectives.simclr import nt_xent_loss
+
+    rng = np.random.default_rng(3)
+    z1 = jnp.asarray(rng.normal(size=(16, 24)).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=(16, 24)).astype(np.float32))
+
+    def run():
+        return jax.value_and_grad(lambda a, b: nt_xent_loss(a, b, 0.07),
+                                  argnums=(0, 1))(z1, z2)
+
+    monkeypatch.setenv("AVMNIST_PALLAS_NTXENT", "0")
+    l0, g0 = run()
+    monkeypatch.setenv("AVMNIST_PALLAS_NTXENT", "1")
+    l1, g1 = run()
+    monkeypatch.delenv("AVMNIST_PALLAS_NTXENT")
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
