@@ -54,9 +54,15 @@ def run_supervised(model_type: str, config: Dict, train_split, val_split, test,
         state, _ = fit(obj, train_split, epochs=epochs, batch_size=hp["batch_size"],
                        seed=seed, mesh=mesh, val_data=val_split,
                        on_epoch_end=on_epoch_end)
-        result = evaluate(obj, state,
-                          Batches(test, hp["batch_size"], shuffle=False,
-                                  pad_final=True), mesh)
+        from avmnist_tpu.data.resident import ResidentSplit
+        from avmnist_tpu.train.loops import evaluate_resident
+
+        if isinstance(test, ResidentSplit):
+            result = evaluate_resident(obj, state, test, hp["batch_size"], mesh)
+        else:
+            result = evaluate(obj, state,
+                              Batches(test, hp["batch_size"], shuffle=False,
+                                      pad_final=True), mesh)
         write_prediction_csv(
             os.path.join(out_dir, f"test_results_{model_type}_seed_{seed}.csv"),
             result["labels"], result["preds"], result["probs"])
@@ -94,6 +100,12 @@ def main(argv=None):
     else:
         train_split, val_split, test = load_experiment_data(config)
     mesh = create_mesh(n_model=config["hardware"].get("model_parallel", 1))
+    if config.get("data", {}).get("resident", True):
+        from avmnist_tpu.data.resident import as_resident
+
+        train_split = as_resident(train_split, mesh)
+        val_split = as_resident(val_split, mesh)
+        test = as_resident(test, mesh)
     out_root = os.path.join(config["model"]["model_dir_data"], "supervised_results")
     results = {}
     for m in args.models:

@@ -183,3 +183,34 @@ def test_old_augments_config_differs_from_tuned():
     assert t["mask_ratio"] != o["mask_ratio"]
     # reference old config disables time_warp/gaussian_noise (p: 0.0)
     assert old["best_augments"]["global_views"]["time_warp"]["p"] == 0.0
+
+
+@pytest.mark.slow
+def test_benchmarks_cli_end_to_end(tmp_path):
+    """Supervised benchmarks CLI (reference benchmarks.ipynb protocol): artifact
+    layout — metadata-header training logs, prediction CSVs, accuracy_summary."""
+    from avmnist_tpu.cli.benchmarks import main
+
+    cfg = {
+        "data": {"data_dir": "unused"},
+        "experiment": {"seed": 1},
+        "hyperparameters": {"batch_size": 32, "learning_rate": 1e-3,
+                            "num_epochs": 1},
+        "model": {"model_dir_data": str(tmp_path / "data"),
+                  "model_dir_scratch": str(tmp_path / "scratch"),
+                  "name": "unknown", "num_classes": 10},
+        "logs": {"log_dir": str(tmp_path / "logs")},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    results = main(["--models", "image", "--config", cfg_path, "--epochs", "1",
+                    "--seeds", "1", "--synthetic_data"])
+    assert np.isfinite(results["image"]["mean"])
+    out = tmp_path / "data" / "supervised_results" / "image"
+    assert (out / "accuracy_summary.txt").exists()
+    logs = [f for f in os.listdir(out) if f.startswith("training_log_image_seed_1")]
+    assert logs
+    header = open(out / logs[0]).readline()
+    assert "learning_rate" in header  # metadata embedded in header (reference format)
+    assert any(f.startswith("test_results_image_seed_1") for f in os.listdir(out))
