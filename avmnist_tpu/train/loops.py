@@ -75,6 +75,19 @@ def _resident_programs(objective: Objective, mesh):
     return cache[key]
 
 
+def _max_scan_steps() -> Optional[int]:
+    """Optional cap on the steps per resident scan program. Some heavy models
+    (dual-ViT: ~225 ms/step) make a 429-step epoch a ~97 s device program, which
+    crashes the relay's TPU worker (reproducibly; streaming per-step execution of
+    the same model is fine). Segmenting the epoch into a few scan calls keeps
+    each program short at negligible dispatch cost. Default uncapped;
+    ``AVMNIST_MAX_SCAN_STEPS=N`` enables."""
+    import os
+
+    v = os.environ.get("AVMNIST_MAX_SCAN_STEPS", "")
+    return int(v) if v.isdigit() and int(v) > 0 else None
+
+
 def run_epoch_resident(
     objective: Objective,
     state: TrainState,
@@ -85,15 +98,30 @@ def run_epoch_resident(
     rng,
     mesh=None,
 ) -> tuple:
-    """One epoch as ONE jitted scan over a shuffled index plan (bit-identical
-    batch composition to the streaming path: same data_rng(seed, epoch) order)."""
+    """One epoch as one (or a few, see _max_scan_steps) jitted scans over a
+    shuffled index plan (bit-identical batch composition to the streaming path:
+    same data_rng(seed, epoch) order)."""
     train_prog, _ = _resident_programs(objective, mesh)
     rng, epoch_rng = jax.random.split(rng)
     plan = data.train_index(batch_size, seed, epoch)
     n = len(plan)
+    cap = _max_scan_steps()
     t0 = time.perf_counter()
-    state, ms = train_prog(state, data.arrays, jnp.asarray(plan), epoch_rng)
-    means = {k: float(v) for k, v in jax.device_get(ms).items()}
+    if cap is None or n <= cap:
+        state, ms = train_prog(state, data.arrays, jnp.asarray(plan), epoch_rng)
+        means = {k: float(v) for k, v in jax.device_get(ms).items()}
+    else:
+        # segments of identical length compile once; the tail (if any) once more.
+        parts = []
+        for start in range(0, n, cap):
+            seg = jnp.asarray(plan[start:start + cap])
+            state, ms = train_prog(state, data.arrays, seg, epoch_rng)
+            parts.append((len(seg), ms))
+        sums: Dict[str, float] = {}
+        for k_len, ms in parts:
+            for k, v in jax.device_get(ms).items():
+                sums[k] = sums.get(k, 0.0) + k_len * float(v)
+        means = {k: v / n for k, v in sums.items()}
     wall = time.perf_counter() - t0
     means["epoch_time"] = wall
     means["avg_batch_time"] = wall / max(n, 1)

@@ -109,3 +109,18 @@ def test_probe_bn_train_resident_matches_streaming(synthetic_arrays):
     np.testing.assert_allclose(tf_a, np.asarray(tf_b), rtol=2e-2, atol=2e-3)
     np.testing.assert_allclose(evs_a[0][0], np.asarray(evs_b[0][0]),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_segmented_resident_epoch_matches_uncapped(synthetic_arrays, monkeypatch):
+    """AVMNIST_MAX_SCAN_STEPS segments the epoch into several scan programs;
+    the training math is unchanged (same epoch rng key; step_fns fold
+    state.step, so streams are identical across the segment boundary)."""
+    train, _ = synthetic_arrays
+    obj = make_centralnet_objective(channels=4, learning_rate=1e-3)
+    state_a, hist_a = fit(obj, ResidentSplit(train), epochs=2, batch_size=32, seed=5)
+    monkeypatch.setenv("AVMNIST_MAX_SCAN_STEPS", "3")  # 8 steps -> 3+3+2 segments
+    state_b, hist_b = fit(obj, ResidentSplit(train), epochs=2, batch_size=32, seed=5)
+    monkeypatch.delenv("AVMNIST_MAX_SCAN_STEPS")
+    for x, y in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert abs(hist_a[-1]["train_loss"] - hist_b[-1]["train_loss"]) < 1e-6
