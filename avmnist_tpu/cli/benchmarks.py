@@ -77,7 +77,7 @@ def run_supervised(model_type: str, config: Dict, train_split, val_split, test,
 
 
 def main(argv=None):
-    from avmnist_tpu.config.schema import load_config, update_hardware_config
+    from avmnist_tpu.config.schema import load_config, setup_jax, update_hardware_config
     from avmnist_tpu.parallel import create_mesh
     from avmnist_tpu.train.experiment import load_experiment_data
 
@@ -90,6 +90,7 @@ def main(argv=None):
     parser.add_argument("--synthetic_data", action="store_true")
     args = parser.parse_args(argv)
 
+    setup_jax()
     config = update_hardware_config(load_config(args.config))
     if args.synthetic_data:
         from avmnist_tpu.data.datasets import split_train_val

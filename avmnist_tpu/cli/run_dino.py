@@ -16,7 +16,8 @@ import shutil
 from datetime import datetime
 from typing import Dict, Optional
 
-from avmnist_tpu.config.schema import load_config, save_config, update_hardware_config
+from avmnist_tpu.config.schema import (load_config, save_config, setup_jax,
+                                        update_hardware_config)
 from avmnist_tpu.models.registry import MODEL_MAP, UNIMODAL_MODEL_MAP
 
 TRAINING_MODES = ("default", "semi_supervised", "mse", "infonce")
@@ -106,6 +107,7 @@ def main(argv=None):
         else:
             raise FileNotFoundError(f"config not found: {args.config}")
     args.config = config_arg
+    setup_jax()
     config = update_hardware_config(load_config(args.config))
 
     mode_suffix = f"_{args.training_mode}" if args.training_mode != "default" else ""
@@ -113,8 +115,10 @@ def main(argv=None):
     model_name = f"{chosen}{mode_suffix}_{args.metric}_{timestamp}"
     model_dir_scratch = os.path.join(config["model"]["model_dir_scratch"], model_name)
     model_dir_data = os.path.join(config["model"]["model_dir_data"], model_name)
-    for p in (model_dir_scratch, model_dir_data):
-        os.makedirs(p, exist_ok=True)
+    # scratch is created now (the config copy lands there); the data dir is
+    # created by summarize_experiment only when artifacts exist, so an aborted
+    # run leaves no empty data dir behind (VERDICT r2).
+    os.makedirs(model_dir_scratch, exist_ok=True)
     config_path = os.path.join(model_dir_scratch, "config.yaml")
     if os.path.exists(args.config):
         shutil.copy(args.config, config_path)

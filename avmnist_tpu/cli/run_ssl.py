@@ -49,7 +49,7 @@ def make_workload_objective(name: str, hp, steps_per_epoch=None):
 
 
 def main(argv=None):
-    from avmnist_tpu.config.schema import load_config, update_hardware_config
+    from avmnist_tpu.config.schema import load_config, setup_jax, update_hardware_config
     from avmnist_tpu.parallel import create_mesh
     from avmnist_tpu.train.experiment import load_experiment_data
     from avmnist_tpu.train.ssl_experiment import (
@@ -67,6 +67,7 @@ def main(argv=None):
     parser.add_argument("--synthetic_data", action="store_true")
     args = parser.parse_args(argv)
 
+    setup_jax()
     config = update_hardware_config(load_config(args.config))
     hp = config["hyperparameters"]
     if args.synthetic_data:

@@ -110,8 +110,16 @@ def update_hardware_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         hw["num_gpus"] = int(os.environ["SLURM_GPUS"])
     if "TPU_CHIPS" in os.environ:
         hw["num_chips"] = int(os.environ["TPU_CHIPS"])
-    # Persistent XLA compile cache for every CLI entry: first-compile of the
-    # whole-epoch programs is minutes; identical reruns should pay zero.
+    return cfg
+
+
+def setup_jax() -> None:
+    """Process-global JAX setup for CLI entry points (NOT config normalization —
+    kept out of update_hardware_config so library callers/tests normalizing a
+    config dict don't mutate global JAX state, ADVICE r2).
+
+    Persistent XLA compile cache: first-compile of the whole-epoch programs is
+    minutes; identical reruns should pay zero."""
     try:
         import jax
 
@@ -120,4 +128,3 @@ def update_hardware_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    return cfg

@@ -229,9 +229,11 @@ class DualViTFusion(nn.Module):
 
 
 class DualViTMultiModalEncoder(GatedMultiModalEncoder):
-    """ViT both modalities; heads = max(1, E//64) (dino.py:288-344). Gates exist as
-    params (inherited) but the reference forward concatenates UN-gated features
-    (dino.py:346-360 is commented out) — preserved."""
+    """ViT both modalities; heads = max(1, E//64) (dino.py:288-344). The reference's
+    own ``forward`` (dino.py:346-360) is commented out, so the INHERITED
+    ``GatedMultiModalEncoder.forward`` runs: sigmoid-gated features, concatenated,
+    through the DualViT 2E->512->out fusion (dino.py:246-260) — preserved here by
+    using the inherited gated ``fuse`` with this class's fusion head."""
 
     image_patch_size: int = 4
     audio_patch_size: int = 8
@@ -249,9 +251,6 @@ class DualViTMultiModalEncoder(GatedMultiModalEncoder):
 
     def make_fusion(self):
         return DualViTFusion(self.output_dim)
-
-    def fuse(self, f_i, f_a, train: bool = True):
-        return self.fusion(f_i, f_a, train=train)
 
 
 class MobileViTMultiModalEncoder(SimpleMultiModalEncoder):

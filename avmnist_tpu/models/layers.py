@@ -91,9 +91,12 @@ class ConvBNRelu(nn.Module):
     for it; on TPU the dL/db reductions alone cost ~5.2 ms/step at B=1024 on the
     112x112 audio stem (measured via hlo_stats, round 2). Exact in function space.
 
-    On a TPU backend the train-mode BN+ReLU+pool epilogue runs as one fused Pallas
-    kernel pair (see ops/pallas_fused.py) — same math, ~1/4 the HBM traffic; the
-    parameter tree is identical, so the paths are checkpoint-interchangeable."""
+    On a TPU backend the train-mode BN+ReLU+pool epilogue CAN run as one fused
+    Pallas kernel pair (ops/pallas_fused.py) when ``AVMNIST_PALLAS_FUSED=1`` —
+    same math, ~1/4 the HBM traffic in-kernel, but default OFF: the per-call
+    relay dispatch cost made it a net loss in the round-2 A/B
+    (docs/PERF_NOTES.md). The parameter tree is identical either way, so the
+    paths are checkpoint-interchangeable."""
 
     features: int
     kernel: int = 3
@@ -141,7 +144,7 @@ class ProjectionHead(nn.Module):
     def __call__(self, x, train: bool = True):
         x = Dense(self.hidden_dim)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default: exact erf
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return Dense(self.projection_dim)(x)
 

@@ -34,7 +34,12 @@ class PatchEmbedding(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention (torch MultiheadAttention equivalent)."""
+    """Multi-head self-attention (torch MultiheadAttention equivalent).
+
+    Init parity: torch MHA._reset_parameters applies xavier_uniform to the packed
+    in_proj weight (vs the kaiming default of plain Linear layers) and zeros the
+    in_proj bias; out_proj keeps the Linear default kernel with a zero bias —
+    both matched here (biases are zero-init framework-wide, models/layers.py)."""
 
     num_heads: int
     dropout: float = 0.1
@@ -44,7 +49,8 @@ class SelfAttention(nn.Module):
         b, t, d = x.shape
         h = self.num_heads
         hd = d // h
-        qkv = Dense(3 * d)(x).reshape(b, t, 3, h, hd)
+        qkv = Dense(3 * d, kernel_init=nn.initializers.xavier_uniform())(
+            x).reshape(b, t, 3, h, hd)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, T, H, hd)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
         attn = nn.softmax(attn, axis=-1)
@@ -62,16 +68,17 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # torch nn.LayerNorm default eps=1e-5 (flax default is 1e-6)
         d = x.shape[-1]
         a = SelfAttention(self.num_heads, self.dropout)(x, train=train)
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
-        x = nn.LayerNorm()(x + a)
+        x = nn.LayerNorm(epsilon=1e-5)(x + a)
         f = Dense(int(d * self.mlp_ratio))(x)
-        f = nn.gelu(f)
+        f = nn.gelu(f, approximate=False)  # torch nn.GELU default: exact erf
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
         f = Dense(d)(f)
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
-        return nn.LayerNorm()(x + f)
+        return nn.LayerNorm(epsilon=1e-5)(x + f)
 
 
 class TransformerEncoder(nn.Module):
@@ -88,7 +95,7 @@ class TransformerEncoder(nn.Module):
             x = TransformerEncoderLayer(self.num_heads, self.mlp_ratio, self.dropout)(
                 x, train=train
             )
-        return nn.LayerNorm()(x)
+        return nn.LayerNorm(epsilon=1e-5)(x)
 
 
 class ViTEncoder(nn.Module):
@@ -151,4 +158,4 @@ class LegacyMultiModalViTEncoder(nn.Module):
     def __call__(self, images, spectrograms, train: bool = True):
         f = jnp.concatenate([self.image_encoder(images, train=train),
                              self.audio_encoder(spectrograms, train=train)], axis=1)
-        return self.fusion_out(nn.gelu(self.fusion_hidden(f)))
+        return self.fusion_out(nn.gelu(self.fusion_hidden(f), approximate=False))  # torch nn.GELU default: exact erf

@@ -22,7 +22,7 @@ from avmnist_tpu.models.autoencoder import (
     MaskedConvAutoencoder,
     MobileVitMaskedAutoencoder,
 )
-from avmnist_tpu.objectives.common import Objective, cast_tree, normalize_audio
+from avmnist_tpu.objectives.common import Objective, cast_tree, normalize_audio, per_step_rng
 from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
 from avmnist_tpu.train.state import TrainState
 
@@ -62,7 +62,7 @@ def make_autoencoder_objective(cfg: AutoencoderConfig) -> Objective:
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
-        rng = jax.random.fold_in(rng, state.step)  # per-step stream from a per-epoch key (loops.run_epoch passes one key per epoch; zero per-step host dispatches)
+        rng = per_step_rng(rng, state)  # REQUIRED contract: per-step stream from the per-epoch key (objectives.common)
         k_mask, k_drop = jax.random.split(rng)
         x = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
         if masked:

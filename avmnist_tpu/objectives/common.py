@@ -23,6 +23,17 @@ def normalize_audio(audio: jnp.ndarray, mean: float = 0.0, std: float = 1.0) -> 
     return x[..., None] if x.ndim == 3 else x
 
 
+def per_step_rng(rng, state):
+    """REQUIRED first rng op of every ``step_fn``: derive the step's PRNG stream.
+
+    The training loops pass ONE key per epoch (zero per-step host dispatches —
+    docs/PERF_NOTES.md) and rely on every objective folding ``state.step`` into it;
+    an objective that skips this silently reuses a single stream for every step of
+    an epoch (identical augmentations/masks all epoch). Use this helper instead of
+    calling ``jax.random.fold_in`` by hand so the contract can't be forgotten."""
+    return jax.random.fold_in(rng, state.step)
+
+
 def cast_tree(tree, dtype):
     return jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
@@ -45,7 +56,9 @@ class Objective:
     """A training workload: jitted pure step functions + metadata.
 
     ``init_fn(rng) -> TrainState`` (host-called once, then replicated over the mesh);
-    ``step_fn(state, batch, rng) -> (state, metrics)`` — the fused train step;
+    ``step_fn(state, batch, rng) -> (state, metrics)`` — the fused train step.
+    CONTRACT: ``rng`` is a per-EPOCH key; the step_fn MUST derive its stream via
+    ``per_step_rng(rng, state)`` (fold in state.step) before any random op;
     ``eval_fn(state, batch) -> metrics/outputs`` (optional);
     ``feature_fn(state, batch) -> features`` frozen-encoder features for probes.
     """

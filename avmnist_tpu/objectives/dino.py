@@ -42,6 +42,7 @@ from avmnist_tpu.objectives.common import (
     cross_entropy,
     normalize_audio,
     normalize_images,
+    per_step_rng,
 )
 from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
 from avmnist_tpu.train.state import TrainState
@@ -165,6 +166,7 @@ class DinoConfig:
     audio_mean: float = 0.0
     audio_std: float = 1.0
     use_center: bool = True            # False = UniModalDINOV2 (dino.py:1400-1489)
+    encoder_kwargs: Optional[Dict] = None  # extra encoder ctor args (dino.py:609-612)
     per_view_bn: bool = False          # True = BatchNorm batch stats PER VIEW (exact
     # reference semantics: the torch loop normalizes each view separately,
     # dino.py:679-706). Default False normalizes over the folded [views*B] batch —
@@ -182,7 +184,8 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
         raise ValueError("hybrid modes are multimodal-only (run_dino.py:585-593)")
     encoder = build_encoder(cfg.model_name, output_dim=cfg.output_dim,
                             **({} if unimodal else
-                               {"encoder_output_dim": cfg.encoder_output_dim}))
+                               {"encoder_output_dim": cfg.encoder_output_dim}),
+                            **(cfg.encoder_kwargs or {}))
     student = DINONet(encoder=encoder, projection_dim=cfg.projection_dim,
                       dropout=cfg.dropout, unimodal=unimodal, mode=cfg.mode,
                       num_classes=cfg.num_classes,
@@ -239,7 +242,7 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
-        rng = jax.random.fold_in(rng, state.step)  # per-step stream from a per-epoch key (loops.run_epoch passes one key per epoch; zero per-step host dispatches)
+        rng = per_step_rng(rng, state)  # REQUIRED contract: per-step stream from the per-epoch key (objectives.common)
         k_aug, k_s, k_t, k_h = jax.random.split(rng, 4)
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
@@ -387,7 +390,8 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
 
     return Objective(f"dino_{cfg.model_name}_{cfg.mode}", init_fn, step_fn,
                      eval_fn=None, feature_fn=feature_fn,
-                     meta={"config": cfg, "student": student, "encoder": encoder,
+                     meta={"config": cfg, "student": student, "teacher": teacher,
+                           "encoder": encoder,
                            "augment": augment, "unimodal": unimodal,
                            "feature_fn_train": feature_fn_train,
                            "feature_fn_stats": feature_fn_stats,

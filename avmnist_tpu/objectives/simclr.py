@@ -29,6 +29,7 @@ from avmnist_tpu.objectives.common import (
     cast_tree,
     normalize_audio,
     normalize_images,
+    per_step_rng,
 )
 from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
 from avmnist_tpu.train.state import TrainState
@@ -230,7 +231,7 @@ def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
-        rng = jax.random.fold_in(rng, state.step)  # per-step stream from a per-epoch key (loops.run_epoch passes one key per epoch; zero per-step host dispatches)
+        rng = per_step_rng(rng, state)  # REQUIRED contract: per-step stream from the per-epoch key (objectives.common)
         k_aug, k_mode, k_net = jax.random.split(rng, 3)
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)

@@ -25,6 +25,7 @@ from avmnist_tpu.objectives.common import (
     cross_entropy,
     normalize_audio,
     normalize_images,
+    per_step_rng,
 )
 from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
 from avmnist_tpu.train.state import TrainState
@@ -148,7 +149,7 @@ def make_unimodal_objective(
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
-        rng = jax.random.fold_in(rng, state.step)  # per-step stream from a per-epoch key (loops.run_epoch passes one key per epoch; zero per-step host dispatches)
+        rng = per_step_rng(rng, state)  # REQUIRED contract: per-step stream from the per-epoch key (objectives.common)
         x, label = pick(batch), batch["label"]
 
         def loss_fn(params):

@@ -11,6 +11,7 @@ Falls back to interpret mode off-TPU; tests assert equality with the jnp path.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +35,25 @@ def _kernel(rows_ref, all_ref, out_ref, *, inv_temp: float, tr: int):
     out_ref[:, :] = jnp.where(row == col, -jnp.inf, sim)
 
 
-def _row_tile(n: int) -> int:
+def _row_tile(n: int) -> Optional[int]:
+    """Largest row tile <=256 on the x8 ladder that divides n, or None when no
+    tile divides n (e.g. 2B=998). None means "don't run the pallas kernel":
+    emitting a single full-size (n, n) block would reintroduce the exact VMEM
+    blow-up the row tiling exists to avoid, so the caller falls back to the XLA
+    chain instead (ADVICE r2)."""
     tr = min(256, n)
     while tr > 8 and n % tr:
         tr -= 8
-    return tr if n % tr == 0 else n
+    return tr if n % tr == 0 else None
+
+
+def _xla_masked_logits(reps: jnp.ndarray, temperature: float) -> jnp.ndarray:
+    """Reference XLA chain (normalize -> matmul -> diag mask) — the fallback when
+    no row tile divides 2B, and the numeric oracle in tests."""
+    r = reps.astype(jnp.float32)
+    z = r * jax.lax.rsqrt(jnp.sum(r * r, axis=1, keepdims=True) + 1e-24)
+    sim = (z @ z.T) / temperature
+    return jnp.where(jnp.eye(sim.shape[0], dtype=bool), -jnp.inf, sim)
 
 
 def nt_xent_logits_pallas(reps: jnp.ndarray, temperature: float = 0.07,
@@ -48,6 +63,8 @@ def nt_xent_logits_pallas(reps: jnp.ndarray, temperature: float = 0.07,
         interpret = jax.default_backend() != "tpu"
     n, p = reps.shape
     tr = _row_tile(n)
+    if tr is None:
+        return _xla_masked_logits(reps, temperature)
     kernel = functools.partial(_kernel, inv_temp=1.0 / temperature, tr=tr)
     return pl.pallas_call(
         kernel,

@@ -33,15 +33,25 @@ import numpy as np  # noqa: E402
 # Reference throughput baselines, pairs- or samples-per-second on 1 GPU.
 #   16.5M pairs / (training_time_hours * 3600)
 BASE_AUDIO_SIMCLR = 16_500_000 / (1.77 * 3600)   # 2589.6  (audio_simclr summary)
+BASE_SIMCLR_MOBILEVIT = 16_500_000 / (1.70 * 3600)  # 2696.1 (audio_simclr_mobilevit)
 BASE_MM_SIMCLR = 16_500_000 / (1.65 * 3600)      # 2777.8  (multimodal_simclr summary)
 BASE_INFONCE = 16_500_000 / (0.67 * 3600)        # 6840.8  (info_nce summary)
+BASE_AE = 16_500_000 / (0.64 * 3600)             # 7161.5  (autoencoder summary)
 BASE_MASKED_AE = 16_500_000 / (1.06 * 3600)      # 4324.0  (masked_autoencoder summary)
 BASE_CENTRALNET = 5_500_000 / 2061.0             # 2668.6  (training_log timestamps)
 BASE_DINO = 2700.0                               # BASELINE.md:33-35 generic SSL rate
 
+# bf16 MXU peak for MFU accounting (v5e: 197 TFLOP/s/chip; "How to Scale Your
+# Model" hardware table). Used only when the backend is the TPU relay.
+PEAK_FLOPS = {"v5e": 197e12}.get(__import__("os").environ.get(
+    "PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
 
-def measure(objective, batch, batch_size: int, n_steps: int = 20) -> float:
-    """Items/sec for n_steps of objective.step_fn on a device-resident batch."""
+
+def measure(objective, batch, batch_size: int, n_steps: int = 20):
+    """(items/sec, achieved FLOP/s, MFU %) for n_steps of objective.step_fn on a
+    device-resident batch. FLOPs come from XLA's cost model for the compiled
+    whole-scan program (SURVEY.md §5: cost_analysis), so the roofline position is
+    reported from artifacts rather than hand math."""
     state = objective.init_fn(jax.random.key(0))
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
@@ -54,14 +64,24 @@ def measure(objective, batch, batch_size: int, n_steps: int = 20) -> float:
         keys = jax.random.split(key, n_steps)
         return jax.lax.scan(body, state, keys)
 
-    state, losses = run_steps(state, jax.random.key(1))  # compile + warmup
+    compiled = run_steps.lower(state, jax.random.key(1)).compile()
+    program_flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        program_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    state, losses = compiled(state, jax.random.key(1))  # warmup execution
     assert np.isfinite(float(losses[-1]))
     t0 = time.perf_counter()
-    state, losses = run_steps(state, jax.random.key(2))
+    state, losses = compiled(state, jax.random.key(2))
     final = float(losses[-1])  # value fetch forces real execution through the relay
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
-    return n_steps * batch_size / dt
+    achieved = program_flops / dt if program_flops else None
+    mfu = 100.0 * achieved / PEAK_FLOPS if achieved else None
+    return n_steps * batch_size / dt, achieved, mfu
 
 
 def workloads():
@@ -77,6 +97,11 @@ def workloads():
            lambda: make_simclr_objective(SimCLRConfig(
                audio_only=True, output_dim=256, projection_dim=128,
                learning_rate=1e-4)))
+    yield ("audio_simclr_mobilevit_pretrain_pairs_per_sec", "pairs/sec/chip", 512,
+           BASE_SIMCLR_MOBILEVIT,
+           lambda: make_simclr_objective(SimCLRConfig(
+               audio_only=True, audio_encoder_name="spectrogram_mobile_vit",
+               output_dim=256, projection_dim=128, learning_rate=1e-4)))
     yield ("multimodal_simclr_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
            BASE_MM_SIMCLR,
            lambda: make_simclr_objective(SimCLRConfig(
@@ -85,6 +110,9 @@ def workloads():
     yield ("info_nce_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
            BASE_INFONCE,
            lambda: make_infonce_objective(InfoNCEConfig()))
+    yield ("autoencoder_pretrain_samples_per_sec", "samples/sec/chip", 512,
+           BASE_AE,
+           lambda: make_autoencoder_objective(AutoencoderConfig(variant="plain")))
     yield ("masked_autoencoder_pretrain_samples_per_sec", "samples/sec/chip", 512,
            BASE_MASKED_AE,
            lambda: make_autoencoder_objective(AutoencoderConfig(variant="masked")))
@@ -103,13 +131,17 @@ def main():
     for metric, unit, batch_size, baseline, build in workloads():
         try:
             batch = train.gather(np.arange(batch_size) % len(train.labels))
-            rate = measure(build(), batch, batch_size)
-            print(json.dumps({
+            rate, achieved, mfu = measure(build(), batch, batch_size)
+            row = {
                 "metric": metric,
                 "value": round(rate, 1),
                 "unit": unit,
                 "vs_baseline": round(rate / baseline, 2),
-            }), flush=True)
+            }
+            if mfu is not None:
+                row["tflops_per_sec"] = round(achieved / 1e12, 2)
+                row["mfu_pct"] = round(mfu, 2)
+            print(json.dumps(row), flush=True)
         except Exception as e:  # keep emitting the remaining workloads
             print(json.dumps({"metric": metric, "error": f"{type(e).__name__}: {e}"}),
                   flush=True)
