@@ -209,3 +209,19 @@ def test_rrc_retry_ablation_matches_torchvision_sampler(monkeypatch):
     r = w / h
     assert (r >= 0.5).all() and (r <= 2.0).all()
     assert np.median(r) > 0.8 and np.median(r) < 1.25
+
+
+def test_rrc_exact_sampler_is_default(monkeypatch):
+    """Round-3 policy flip: with NO env override the reference-exact 10-retry
+    sampler runs (integer top-left corners are its signature — the single-shot
+    variant produces continuous positions)."""
+    monkeypatch.delenv("AVMNIST_RRC_RETRY", raising=False)
+    n = 256
+    mats = np.asarray(F.random_resized_crop_mats(
+        jax.random.key(3), n, (112, 112), (112, 112),
+        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)))
+    sx, sy = mats[:, 0, 0], mats[:, 1, 1]
+    left = mats[:, 0, 2] - 0.5 * sx + 0.5
+    top = mats[:, 1, 2] - 0.5 * sy + 0.5
+    np.testing.assert_allclose(left, np.round(left), atol=1e-4)
+    np.testing.assert_allclose(top, np.round(top), atol=1e-4)

@@ -181,3 +181,22 @@ def test_nt_xent_pallas_loss_and_grads_match_xla(monkeypatch):
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_pallas_ntxent_untileable_n_falls_back_to_xla():
+    """When n>256 has no x8 row tile divisor (e.g. 2B=998), the pallas entry must
+    return the XLA chain result instead of emitting one full-size VMEM block
+    (ADVICE r2). Small n (<=256) keeps the single-block kernel: _row_tile(30)=30."""
+    from avmnist_tpu.ops.pallas_ntxent import _row_tile
+
+    assert _row_tile(30) == 30
+    assert _row_tile(998) is None
+    rng = np.random.default_rng(2)
+    reps = rng.normal(size=(998, 16)).astype(np.float32)
+    got = np.asarray(nt_xent_logits_pallas(jnp.asarray(reps), 0.07, interpret=True))
+    z = reps / np.linalg.norm(reps, axis=1, keepdims=True)
+    want = z @ z.T / 0.07
+    np.fill_diagonal(want, -np.inf)
+    mask = ~np.eye(998, dtype=bool)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-4, atol=1e-4)
+    assert np.all(np.isneginf(np.diag(got)))
