@@ -112,7 +112,12 @@ def main(argv=None):
 
     mode_suffix = f"_{args.training_mode}" if args.training_mode != "default" else ""
     timestamp = datetime.now().strftime("%d%m%Y_%H%M%S")
-    model_name = f"{chosen}{mode_suffix}_{args.metric}_{timestamp}"
+    # AVMNIST_RUN_NAME pins the run-dir name so a re-invocation lands in the same
+    # directory and RESUMES its Optuna study (same optuna_studies.db —
+    # load_if_exists + remaining-trials, reference run_dino.py:149-162 semantics
+    # across process restarts).
+    model_name = (os.environ.get("AVMNIST_RUN_NAME")
+                  or f"{chosen}{mode_suffix}_{args.metric}_{timestamp}")
     model_dir_scratch = os.path.join(config["model"]["model_dir_scratch"], model_name)
     model_dir_data = os.path.join(config["model"]["model_dir_data"], model_name)
     # scratch is created now (the config copy lands there); the data dir is
