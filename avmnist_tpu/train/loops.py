@@ -277,6 +277,9 @@ def fit(
         history.append(metrics)
         if logger is not None:
             logger.log_metrics(metrics, step=int(jax.device_get(state.step)))
+            # flush each epoch: long runs stay monitorable and a crash loses at
+            # most one epoch of metrics (Lightning CSVLogger also writes as it goes)
+            logger.save()
     total = time.perf_counter() - t_start
     if logger is not None:
         logger.log_metrics({"total_training_time": total})
