@@ -75,7 +75,19 @@ def dino_config_from_yaml(config: Dict, model_name: str, mode: str,
         alpha=hp.get("alpha", 1.0),
         cosine_loss_alpha=hp.get("cosine_loss_alpha", 0.0),
         num_classes=config["model"].get("num_classes", 10),
+        compute_dtype=_compute_dtype(hp),
     )
+
+
+def _compute_dtype(hp: Dict):
+    """bf16 by default; `AVMNIST_COMPUTE_DTYPE=float32` (or hyperparameters:
+    compute_dtype in the YAML) forces full-f32 steps — the precision-ablation
+    switch used to bisect ViT DINO training stability."""
+    import jax.numpy as jnp
+
+    name = os.environ.get("AVMNIST_COMPUTE_DTYPE",
+                          hp.get("compute_dtype", "bfloat16"))
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
 def main(argv=None):

@@ -9,6 +9,14 @@ Differences from a naive translation:
   dynamics are sensitive to norm placement.
 - CLS token and positional embeddings are zero-initialized, matching the reference
   quirk (dino_vit.py:87-91 uses torch.zeros, never randn).
+- mixed-precision policy mirrors torch AMP autocast, under which the reference
+  trains (Trainer(precision='16-mixed'), run_dino.py:356-365): matmuls/convs run in
+  the compute dtype (bf16 here) but LayerNorm and the attention softmax ALWAYS run
+  in float32 — autocast's fp32 op list. Running them in bf16 (the naive
+  cast-everything policy) destabilizes post-LN ViT DINO training: the round-2
+  multi_dual_vit run was healthy for 10 epochs, then the teacher entropy exploded
+  to ~log(P) and the loss oscillated without recovering. LN/softmax are VPU ops,
+  so the f32 island costs no MXU throughput.
 """
 from __future__ import annotations
 
@@ -53,7 +61,9 @@ class SelfAttention(nn.Module):
             x).reshape(b, t, 3, h, hd)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, T, H, hd)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
-        attn = nn.softmax(attn, axis=-1)
+        # softmax in f32 (torch autocast fp32 op; see module docstring), back to the
+        # compute dtype for the value matmul — exactly autocast's cast points
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         return Dense(d)(out)
@@ -68,17 +78,21 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        # torch nn.LayerNorm default eps=1e-5 (flax default is 1e-6)
+        # torch nn.LayerNorm default eps=1e-5 (flax default is 1e-6). LN computes
+        # in f32 (dtype=float32 promotes input AND scale/bias) per the autocast
+        # policy; matmul inputs are cast back to the network compute dtype.
         d = x.shape[-1]
+        cdt = x.dtype
+        ln = lambda: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         a = SelfAttention(self.num_heads, self.dropout)(x, train=train)
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
-        x = nn.LayerNorm(epsilon=1e-5)(x + a)
-        f = Dense(int(d * self.mlp_ratio))(x)
+        x32 = ln()(x.astype(jnp.float32) + a.astype(jnp.float32))
+        f = Dense(int(d * self.mlp_ratio))(x32.astype(cdt))
         f = nn.gelu(f, approximate=False)  # torch nn.GELU default: exact erf
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
         f = Dense(d)(f)
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
-        return nn.LayerNorm(epsilon=1e-5)(x + f)
+        return ln()(x32 + f.astype(jnp.float32)).astype(cdt)
 
 
 class TransformerEncoder(nn.Module):
@@ -95,7 +109,7 @@ class TransformerEncoder(nn.Module):
             x = TransformerEncoderLayer(self.num_heads, self.mlp_ratio, self.dropout)(
                 x, train=train
             )
-        return nn.LayerNorm(epsilon=1e-5)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(x.dtype)
 
 
 class ViTEncoder(nn.Module):

@@ -20,6 +20,7 @@ Run on CPU: JAX_PLATFORMS=cpu python scripts/torch_ref_parity.py --mode grads
 from __future__ import annotations
 
 import argparse
+import importlib.machinery
 import importlib.util
 import json
 import sys
@@ -35,6 +36,9 @@ def import_reference_dino():
 
     def stub(name, **attrs):
         m = types.ModuleType(name)
+        # torch._dynamo.trace_rules calls importlib.util.find_spec on installed
+        # modules (e.g. tqdm) and raises if __spec__ is None — give stubs a spec
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m
