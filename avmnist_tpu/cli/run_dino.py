@@ -48,6 +48,7 @@ def dino_config_from_yaml(config: Dict, model_name: str, mode: str,
     from avmnist_tpu.objectives.dino import DinoConfig
 
     hp = config["hyperparameters"]
+    rf = config.get("reference_faithful", {})
     from avmnist_tpu.tuning.spaces import process_augment_config
 
     best_augments = None
@@ -76,6 +77,10 @@ def dino_config_from_yaml(config: Dict, model_name: str, mode: str,
         cosine_loss_alpha=hp.get("cosine_loss_alpha", 0.0),
         num_classes=config["model"].get("num_classes", 10),
         compute_dtype=_compute_dtype(hp),
+        # quirk switches (schema reference_faithful block; defaults faithful)
+        l2_normalize_before_softmax=rf.get("l2_normalize_before_softmax", True),
+        unimodal_double_centering=rf.get("unimodal_double_centering", True),
+        teacher_ema_before_optimizer=rf.get("teacher_ema_before_optimizer", True),
     )
 
 

@@ -176,6 +176,7 @@ class DinoConfig:
     l2_normalize_before_softmax: bool = True
     unimodal_double_centering: bool = True
     teacher_ema_before_optimizer: bool = True
+    identity_augment: bool = False     # profiling only: tile views, no transforms
 
 
 def make_dino_objective(cfg: DinoConfig) -> Objective:
@@ -199,6 +200,10 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
 
     augment = MultiCropAugment.from_config(cfg.n_global_views, cfg.n_local_views,
                                            cfg.best_augments)
+    if cfg.identity_augment:  # profiling hook: tile views, skip every transform
+        augment = MultiCropAugment(
+            n_global_views=cfg.n_global_views, n_local_views=cfg.n_local_views,
+            image_global=(), image_local=(), audio_global=(), audio_local=())
     lr = (cosine_epoch_schedule(cfg.learning_rate, cfg.num_epochs, cfg.steps_per_epoch)
           if cfg.steps_per_epoch else cfg.learning_rate)
     tx = torch_adam(lr, weight_decay=cfg.weight_decay)

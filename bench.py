@@ -45,6 +45,7 @@ BASE_DINO = 2700.0                               # BASELINE.md:33-35 generic SSL
 # Model" hardware table). Used only when the backend is the TPU relay.
 PEAK_FLOPS = {"v5e": 197e12}.get(__import__("os").environ.get(
     "PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
+PEAK_HBM = 819e9  # v5e HBM bytes/s — roofline denominator for memory-bound steps
 
 
 def measure(objective, batch, batch_size: int, n_steps: int = 20):
@@ -55,8 +56,11 @@ def measure(objective, batch, batch_size: int, n_steps: int = 20):
     state = objective.init_fn(jax.random.key(0))
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
+    # The batch is an ARGUMENT, not a closure: a closed-over array is embedded
+    # in the HLO as a constant, which blows the relay's compile-payload limit
+    # at batch >= 1024 (docs/PERF_NOTES.md, round-3 roofline section).
     @jax.jit
-    def run_steps(state, key):
+    def run_steps(state, batch, key):
         def body(s, k):
             s, metrics = objective.step_fn(s, batch, k)
             return s, metrics["train_loss"]
@@ -64,24 +68,26 @@ def measure(objective, batch, batch_size: int, n_steps: int = 20):
         keys = jax.random.split(key, n_steps)
         return jax.lax.scan(body, state, keys)
 
-    compiled = run_steps.lower(state, jax.random.key(1)).compile()
-    program_flops = None
+    compiled = run_steps.lower(state, batch, jax.random.key(1)).compile()
+    program_flops = program_bytes = None
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         program_flops = float(ca.get("flops", 0.0)) or None
+        program_bytes = float(ca.get("bytes accessed", 0.0)) or None
     except Exception:
         pass
-    state, losses = compiled(state, jax.random.key(1))  # warmup execution
+    state, losses = compiled(state, batch, jax.random.key(1))  # warmup execution
     assert np.isfinite(float(losses[-1]))
     t0 = time.perf_counter()
-    state, losses = compiled(state, jax.random.key(2))
+    state, losses = compiled(state, batch, jax.random.key(2))
     final = float(losses[-1])  # value fetch forces real execution through the relay
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
     achieved = program_flops / dt if program_flops else None
     mfu = 100.0 * achieved / PEAK_FLOPS if achieved else None
-    return n_steps * batch_size / dt, achieved, mfu
+    hbm = 100.0 * (program_bytes / dt) / PEAK_HBM if program_bytes else None
+    return n_steps * batch_size / dt, achieved, mfu, hbm
 
 
 def workloads():
@@ -119,7 +125,10 @@ def workloads():
     yield ("centralnet_supervised_samples_per_sec", "samples/sec/chip", 1024,
            BASE_CENTRALNET,
            lambda: make_centralnet_objective())
-    yield ("dino_multi_central_pretrain_pairs_per_sec", "pairs/sec/chip", 256,
+    # Batch 1024: the DINO step saturates device throughput at ~1k pairs
+    # (round-3 profile: 9.1k/s @256, 10.0k @512, 10.2k @1024 — memory-bound,
+    # docs/PERF_NOTES.md roofline section).
+    yield ("dino_multi_central_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
            BASE_DINO,
            lambda: make_dino_objective(DinoConfig(model_name="multi_central")))
 
@@ -131,7 +140,7 @@ def main():
     for metric, unit, batch_size, baseline, build in workloads():
         try:
             batch = train.gather(np.arange(batch_size) % len(train.labels))
-            rate, achieved, mfu = measure(build(), batch, batch_size)
+            rate, achieved, mfu, hbm = measure(build(), batch, batch_size)
             row = {
                 "metric": metric,
                 "value": round(rate, 1),
@@ -141,6 +150,8 @@ def main():
             if mfu is not None:
                 row["tflops_per_sec"] = round(achieved / 1e12, 2)
                 row["mfu_pct"] = round(mfu, 2)
+            if hbm is not None:
+                row["hbm_roofline_pct"] = round(hbm, 2)
             print(json.dumps(row), flush=True)
         except Exception as e:  # keep emitting the remaining workloads
             print(json.dumps({"metric": metric, "error": f"{type(e).__name__}: {e}"}),

@@ -214,3 +214,41 @@ def test_benchmarks_cli_end_to_end(tmp_path):
     header = open(out / logs[0]).readline()
     assert "learning_rate" in header  # metadata embedded in header (reference format)
     assert any(f.startswith("test_results_image_seed_1") for f in os.listdir(out))
+
+
+def test_reference_faithful_switches_reach_dino_config():
+    """The YAML reference_faithful block must land in DinoConfig (round-3 fix:
+    the switches were declared in the schema but never wired through the CLI)."""
+    from avmnist_tpu.cli.run_dino import dino_config_from_yaml
+    from avmnist_tpu.config.schema import default_config
+
+    cfg = default_config()
+    dc = dino_config_from_yaml(cfg, "multi_dual_vit", "default")
+    assert dc.l2_normalize_before_softmax is True  # faithful defaults
+    assert dc.unimodal_double_centering is True
+    assert dc.teacher_ema_before_optimizer is True
+
+    cfg["reference_faithful"]["l2_normalize_before_softmax"] = False
+    cfg["reference_faithful"]["teacher_ema_before_optimizer"] = False
+    dc = dino_config_from_yaml(cfg, "multi_dual_vit", "default")
+    assert dc.l2_normalize_before_softmax is False
+    assert dc.teacher_ema_before_optimizer is False
+
+
+def test_bench_measure_passes_batch_as_argument():
+    """bench.measure must feed the batch as a jit ARGUMENT: a closed-over batch
+    is embedded in the HLO as a constant, which blows the TPU relay's
+    compile-payload limit at batch >= 1024 (docs/PERF_NOTES.md round-3)."""
+    import bench
+    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
+    from avmnist_tpu.objectives.supervised import make_centralnet_objective
+
+    train, _ = make_synthetic_avmnist(n_train=8, n_test=4, seed=0)
+    batch = train.gather(np.arange(8))
+    rate, achieved, mfu, hbm = bench.measure(
+        make_centralnet_objective(), batch, 8, n_steps=2)
+    assert rate > 0
+    # cost_analysis may be unavailable on some backends; when present it is
+    # positive and the roofline percentages are finite.
+    for v in (achieved, mfu, hbm):
+        assert v is None or (np.isfinite(v) and v > 0)
