@@ -75,6 +75,7 @@ def dino_config_from_yaml(config: Dict, model_name: str, mode: str,
         best_augments=best_augments,
         alpha=hp.get("alpha", 1.0),
         cosine_loss_alpha=hp.get("cosine_loss_alpha", 0.0),
+        lr_warmup_epochs=hp.get("lr_warmup_epochs", 0),
         num_classes=config["model"].get("num_classes", 10),
         compute_dtype=_compute_dtype(hp),
         # quirk switches (schema reference_faithful block; defaults faithful)

@@ -157,6 +157,9 @@ class DinoConfig:
     dropout: float = 0.3
     num_epochs: int = 100
     steps_per_epoch: Optional[int] = None
+    # 0 = reference-exact (no warmup). >0 prepends a linear per-step LR ramp —
+    # canonical DINO collapse protection, opt-in only (docs/DEVIATIONS.md).
+    lr_warmup_epochs: int = 0
     n_global_views: int = 2
     n_local_views: int = 4
     best_augments: Optional[Dict] = None
@@ -204,7 +207,8 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
         augment = MultiCropAugment(
             n_global_views=cfg.n_global_views, n_local_views=cfg.n_local_views,
             image_global=(), image_local=(), audio_global=(), audio_local=())
-    lr = (cosine_epoch_schedule(cfg.learning_rate, cfg.num_epochs, cfg.steps_per_epoch)
+    lr = (cosine_epoch_schedule(cfg.learning_rate, cfg.num_epochs, cfg.steps_per_epoch,
+                                warmup_epochs=cfg.lr_warmup_epochs)
           if cfg.steps_per_epoch else cfg.learning_rate)
     tx = torch_adam(lr, weight_decay=cfg.weight_decay)
 

@@ -16,10 +16,23 @@ import jax.numpy as jnp
 import optax
 
 
-def cosine_epoch_schedule(lr: float, num_epochs: int, steps_per_epoch: int):
+def cosine_epoch_schedule(lr: float, num_epochs: int, steps_per_epoch: int,
+                          warmup_epochs: int = 0):
+    """Reference-exact when ``warmup_epochs=0`` (the default everywhere).
+
+    ``warmup_epochs>0`` prepends a linear per-STEP ramp 0->lr over that many
+    epochs before the epoch-quantized cosine — the canonical DINO collapse
+    protection (not in the reference; documented in docs/DEVIATIONS.md, used
+    only by the opt-in ``lr_warmup_epochs`` hyperparameter)."""
+    warm_steps = warmup_epochs * steps_per_epoch
+
     def schedule(step):
         epoch = jnp.minimum(step // steps_per_epoch, num_epochs)
-        return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / num_epochs))
+        cos = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / num_epochs))
+        if not warm_steps:
+            return cos
+        ramp = lr * (step + 1) / warm_steps
+        return jnp.where(step < warm_steps, ramp, cos)
 
     return schedule
 

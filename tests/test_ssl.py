@@ -299,3 +299,28 @@ def test_torch_adam_branch_semantics(monkeypatch, synthetic_arrays):
         if hit == {0, 1}:
             break
     assert hit == {0, 1}, f"modes seen: {hit}"
+
+
+def test_cosine_epoch_schedule_warmup():
+    """warmup_epochs=0 is reference-exact CosineAnnealingLR(T_max=E) stepped per
+    epoch; warmup_epochs>0 prepends a linear per-step ramp that meets the cosine
+    at the warmup boundary (opt-in deviation, docs/DEVIATIONS.md)."""
+    import numpy as np
+
+    from avmnist_tpu.train.optim import cosine_epoch_schedule
+
+    lr, E, spe = 1e-3, 10, 4
+    base = cosine_epoch_schedule(lr, E, spe)
+    # epoch-quantized cosine, exact at epoch boundaries
+    assert np.isclose(float(base(0)), lr)
+    assert np.isclose(float(base(5 * spe)), lr * 0.5 * (1 + np.cos(np.pi * 0.5)))
+    assert float(base(E * spe)) < 1e-9
+
+    warm = cosine_epoch_schedule(lr, E, spe, warmup_epochs=2)
+    ws = 2 * spe
+    # linear ramp 0 -> lr over the warmup steps
+    assert np.isclose(float(warm(0)), lr / ws)
+    assert np.isclose(float(warm(ws - 1)), lr)
+    # after warmup: identical to the reference-exact schedule
+    for s in (ws, ws + 3, E * spe):
+        assert np.isclose(float(warm(s)), float(base(s)))
