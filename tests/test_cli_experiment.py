@@ -252,3 +252,15 @@ def test_bench_measure_passes_batch_as_argument():
     # positive and the roofline percentages are finite.
     for v in (achieved, mfu, hbm):
         assert v is None or (np.isfinite(v) and v > 0)
+
+
+def test_lr_warmup_epochs_reaches_dino_config():
+    """hyperparameters.lr_warmup_epochs flows YAML -> DinoConfig; default 0 is
+    reference-exact (no warmup, docs/DEVIATIONS.md)."""
+    from avmnist_tpu.cli.run_dino import dino_config_from_yaml
+    from avmnist_tpu.config.schema import default_config
+
+    cfg = default_config()
+    assert dino_config_from_yaml(cfg, "multi_dual_vit", "default").lr_warmup_epochs == 0
+    cfg["hyperparameters"]["lr_warmup_epochs"] = 10
+    assert dino_config_from_yaml(cfg, "multi_dual_vit", "default").lr_warmup_epochs == 10
