@@ -46,6 +46,9 @@ BASE_DINO = 2700.0                               # BASELINE.md:33-35 generic SSL
 PEAK_FLOPS = {"v5e": 197e12}.get(__import__("os").environ.get(
     "PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
 PEAK_HBM = 819e9  # v5e HBM bytes/s — roofline denominator for memory-bound steps
+# NB: "bytes accessed" is XLA's post-fusion operand+output sum, an OVERCOUNT of
+# physical HBM traffic where consecutive fusions reuse buffers — rows can print
+# hbm_roofline_pct > 100 (docs/PERF_NOTES.md caveat); read it as "at the wall".
 
 
 def measure(objective, batch, batch_size: int, n_steps: int = 20):
@@ -69,12 +72,17 @@ def measure(objective, batch, batch_size: int, n_steps: int = 20):
         return jax.lax.scan(body, state, keys)
 
     compiled = run_steps.lower(state, batch, jax.random.key(1)).compile()
+    # XLA's cost model counts a while-loop (lax.scan) BODY ONCE, not times the
+    # trip count — verified against a scan-free single-step compile
+    # (scripts/roofline.py: 1554 GFLOP/step for DINO@1024 vs ~82 GFLOP reported
+    # for the whole 20-step scan program). Scale by n_steps so achieved-FLOPs
+    # and the roofline percentages describe the measured execution.
     program_flops = program_bytes = None
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        program_flops = float(ca.get("flops", 0.0)) or None
-        program_bytes = float(ca.get("bytes accessed", 0.0)) or None
+        program_flops = n_steps * float(ca.get("flops", 0.0)) or None
+        program_bytes = n_steps * float(ca.get("bytes accessed", 0.0)) or None
     except Exception:
         pass
     state, losses = compiled(state, batch, jax.random.key(1))  # warmup execution
