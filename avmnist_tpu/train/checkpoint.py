@@ -59,3 +59,39 @@ class BestCheckpointer:
             self.best_path = save_checkpoint(
                 os.path.join(self.directory, "best"), state, extra)
         return better
+
+
+def save_last(directory: str, state: TrainState, epoch: int, rng,
+              best: Optional[float] = None) -> str:
+    """Rolling mid-run checkpoint (overwrites ``<directory>/last``).
+
+    Beyond the reference (SURVEY.md §5: 'no mid-epoch resume anywhere' — its
+    recovery story is reload-best-and-continue-downstream): stores the epoch
+    counter, the threaded PRNG key, and the best-metric watermark, so a killed
+    run resumes EXACTLY on the resident input path (epoch plans are pure
+    functions of (seed, epoch), data/resident.py). Motivated by observed
+    multi-hour TPU-relay RPC stalls that kill long protocol runs."""
+    extra = {
+        "epoch": np.asarray(epoch, np.int64),
+        "rng": np.asarray(jax.random.key_data(rng)),
+        "best": np.asarray(np.nan if best is None else best, np.float64),
+    }
+    return save_checkpoint(os.path.join(directory, "last"), state, extra)
+
+
+def load_last(directory: str, template_state: TrainState):
+    """Restore a ``save_last`` checkpoint; returns (state, epoch, rng, best)
+    or None when no ``last`` checkpoint exists."""
+    path = os.path.join(directory, "last")
+    if not os.path.isdir(path):
+        return None
+    key_shape = np.asarray(jax.random.key_data(jax.random.key(0)))
+    extra_template = {
+        "epoch": np.asarray(0, np.int64),
+        "rng": np.zeros_like(key_shape),
+        "best": np.asarray(0.0, np.float64),
+    }
+    state, extra = load_checkpoint(path, template_state, extra_template)
+    rng = jax.random.wrap_key_data(np.asarray(extra["rng"]).astype(key_shape.dtype))
+    best = float(extra["best"])
+    return state, int(extra["epoch"]), rng, (None if np.isnan(best) else best)

@@ -29,7 +29,8 @@ from avmnist_tpu.eval.metrics import (
 )
 from avmnist_tpu.eval.probes import extract_features, knn_probe, train_linear_probe
 from avmnist_tpu.objectives.common import Objective
-from avmnist_tpu.train.checkpoint import BestCheckpointer, load_checkpoint
+from avmnist_tpu.train.checkpoint import (BestCheckpointer, load_checkpoint,
+                                          load_last, save_last)
 from avmnist_tpu.train.loops import fit
 from avmnist_tpu.utils.logging import CSVLogger
 from avmnist_tpu.utils.reproducibility import set_seed
@@ -292,14 +293,37 @@ def run_seeds(
     results = []
     objective = make_objective()
     init_state = objective.init_fn(jax.random.key(config["experiment"].get("seed", 1)))
+    # Mid-run checkpoint/resume (beyond the reference — SURVEY.md §5): save a
+    # rolling `last` checkpoint every K epochs and resume a killed run exactly
+    # (resident path). Opt-in via experiment.save_last_every / resume_from_last
+    # or the matching AVMNIST_* env vars (ops knobs for queue scripts).
+    exp_cfg = config.get("experiment", {})
+    save_last_every = int(os.environ.get("AVMNIST_SAVE_LAST_EVERY",
+                                         exp_cfg.get("save_last_every", 0)))
+    resume_last = (os.environ.get("AVMNIST_RESUME_LAST") == "1"
+                   or bool(exp_cfg.get("resume_from_last", False)))
     for seed in seeds:
         set_seed(seed)
         state = jax.tree.map(lambda x: x, init_state)  # same init every seed
         logger = CSVLogger(model_dir_scratch, name=f"logs_seed{seed}")
         logger.log_hyperparams(hp)
-        ckpt = BestCheckpointer(os.path.join(model_dir_scratch, f"ckpt_seed{seed}"),
-                                monitor=metric,
+        ckpt_dir = os.path.join(model_dir_scratch, f"ckpt_seed{seed}")
+        ckpt = BestCheckpointer(ckpt_dir, monitor=metric,
                                 mode="max" if metric == "mlp_acc" else "min")
+        start_epoch, fit_rng = 0, None
+        if resume_last:
+            restored = load_last(ckpt_dir, init_state)
+            if restored is not None:
+                state, last_epoch, fit_rng, ckpt.best = restored
+                start_epoch = last_epoch + 1
+                if ckpt.best is not None and os.path.isdir(
+                        os.path.join(ckpt_dir, "best")):
+                    ckpt.best_path = os.path.join(ckpt_dir, "best")
+        checkpoint_hook = None
+        if save_last_every:
+            def checkpoint_hook(epoch, st, rng, _dir=ckpt_dir, _ckpt=ckpt):
+                if (epoch + 1) % save_last_every == 0:
+                    save_last(_dir, st, epoch, rng, _ckpt.best)
         hook = (make_mlp_probe_hook(objective, train_split, val_split,
                                     learning_rate=hp.get("learning_rate", 1e-4),
                                     probe_bn_mode=probe_bn_mode)
@@ -316,7 +340,8 @@ def run_seeds(
         state, history = fit(
             objective, train_split, epochs=epochs, batch_size=hp["batch_size"],
             seed=seed, mesh=mesh, logger=logger, on_epoch_end=on_epoch_end,
-            state=state)
+            state=state, start_epoch=start_epoch, rng=fit_rng,
+            checkpoint_hook=checkpoint_hook)
         training_time = time.time() - t0
         if ckpt.best_path:
             state = load_checkpoint(ckpt.best_path, state)

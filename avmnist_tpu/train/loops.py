@@ -241,11 +241,24 @@ def fit(
     logger=None,
     on_epoch_end: Optional[Callable[[int, TrainState, Dict], Dict]] = None,
     state: Optional[TrainState] = None,
+    start_epoch: int = 0,
+    rng=None,
+    checkpoint_hook: Optional[Callable[[int, TrainState, Any], None]] = None,
 ) -> tuple:
     """Full training run. ``on_epoch_end(epoch, state, metrics) -> extra metrics`` is
     the hook used for per-epoch probes / best-checkpoint tracking (the analog of
-    Lightning callbacks + on_train_epoch_end)."""
-    rng = jax.random.key(seed)
+    Lightning callbacks + on_train_epoch_end).
+
+    Mid-run resume (beyond the reference — SURVEY.md §5 'no mid-epoch resume
+    anywhere'): pass ``state``/``start_epoch``/``rng`` restored by
+    ``checkpoint.load_last`` to continue a killed run. On the resident input
+    path the continuation is EXACT (epoch plans are pure functions of
+    (seed, epoch)); on the streaming ``Batches`` path the shuffle sequence
+    restarts, so batch composition after resume differs. ``checkpoint_hook
+    (epoch, state, rng)`` runs after each epoch's hooks — the place to call
+    ``checkpoint.save_last``."""
+    if rng is None:
+        rng = jax.random.key(seed)
     if state is None:
         rng, init_rng = jax.random.split(rng)
         state = objective.init_fn(init_rng)
@@ -256,7 +269,7 @@ def fit(
         batches = Batches(train_data, batch_size=batch_size, shuffle=True, seed=seed)
     history: List[Dict] = []
     t_start = time.perf_counter()
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         if resident:
             state, metrics, rng = run_epoch_resident(
                 objective, state, train_data, batch_size, seed, epoch, rng, mesh)
@@ -273,6 +286,8 @@ def fit(
             metrics["val_accuracy"] = val["accuracy"]
         if on_epoch_end is not None:
             metrics.update(on_epoch_end(epoch, state, metrics) or {})
+        if checkpoint_hook is not None:
+            checkpoint_hook(epoch, state, rng)
         metrics["epoch"] = epoch
         history.append(metrics)
         if logger is not None:

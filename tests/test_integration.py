@@ -95,3 +95,42 @@ def test_generated_dataset_trains_and_probes(generated_dataset):
     knn = knn_probe(tf, tl, sf, sl, k=5)
     # tone frequencies are class-determined -> spectrogram kNN should beat chance
     assert knn["accuracy"] > 20.0
+
+
+def test_save_last_resume_is_exact(tmp_path):
+    """Mid-run checkpoint/resume (train/checkpoint.py save_last/load_last):
+    a run killed after epoch 2 and resumed from `last` must produce the SAME
+    final state as an uninterrupted run — the resident path's epoch plans are
+    pure functions of (seed, epoch), so the continuation is bit-exact.
+    (Beyond the reference: SURVEY.md §5 'no mid-epoch resume anywhere'.)"""
+    import jax
+
+    from avmnist_tpu.data.resident import ResidentSplit
+    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
+    from avmnist_tpu.objectives.supervised import make_centralnet_objective
+    from avmnist_tpu.train.checkpoint import load_last, save_last
+    from avmnist_tpu.train.loops import fit
+
+    train, _ = make_synthetic_avmnist(n_train=32, n_test=8, seed=0)
+    res = ResidentSplit(train)
+    obj = make_centralnet_objective(channels=4, compute_dtype=jax.numpy.float32)
+
+    # uninterrupted 4-epoch run
+    state_a, _ = fit(obj, res, epochs=4, batch_size=8, seed=1)
+
+    # interrupted run: 2 epochs with a rolling `last` checkpoint...
+    ckpt_dir = str(tmp_path / "ckpt")
+    fit(obj, res, epochs=2, batch_size=8, seed=1,
+        checkpoint_hook=lambda e, st, rng: save_last(ckpt_dir, st, e, rng))
+    # ...then resume from `last` and finish
+    template = obj.init_fn(jax.random.key(0))
+    state_r, last_epoch, rng, best = load_last(ckpt_dir, template)
+    assert last_epoch == 1 and best is None
+    state_b, hist = fit(obj, res, epochs=4, batch_size=8, seed=1,
+                        state=state_r, start_epoch=last_epoch + 1, rng=rng)
+    assert [h["epoch"] for h in hist] == [2, 3]
+
+    flat_a = jax.tree.leaves(jax.device_get(state_a.params))
+    flat_b = jax.tree.leaves(jax.device_get(state_b.params))
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
