@@ -1,0 +1,45 @@
+#!/bin/bash
+# Stall-resilient runner for long TPU protocol runs (ops harness for the
+# train/checkpoint.py save_last/resume feature).
+#
+#   scripts/run_with_stall_watchdog.sh <run_name> <watch_dir> <stale_s> -- cmd...
+#
+# Launches cmd with AVMNIST_SAVE_LAST_EVERY/AVMNIST_RESUME_LAST set, watches
+# the newest file anywhere under <watch_dir> (metrics.csv flushes every epoch;
+# checkpoints and downstream CSVs cover the probe phases); if it goes stale for longer
+# than <stale_s> while the process is alive (the TPU-relay RPC-stall signature:
+# main thread parked in futex_do_wait, 0% CPU, frozen metrics — see
+# PARITY.md/memory notes, observed twice on 2026-08-19), kills it and
+# relaunches. The relaunch resumes bit-exactly from the rolling `last`
+# checkpoint (resident path). Max 5 relaunches.
+set -u
+NAME=$1; WATCH=$2; STALE=$3; shift 3
+[ "$1" = "--" ] && shift
+
+LOG=/tmp/watchdog_${NAME}.log
+say() { echo "[watchdog $(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+for attempt in $(seq 1 6); do
+  say "attempt $attempt: $*"
+  env AVMNIST_SAVE_LAST_EVERY="${AVMNIST_SAVE_LAST_EVERY:-2}" AVMNIST_RESUME_LAST=1 \
+      AVMNIST_RUN_NAME="$NAME" "$@" > "/tmp/run_${NAME}_a${attempt}.log" 2>&1 &
+  PID=$!
+  START=$(date +%s)
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 60
+    LATEST=$(find "$WATCH" -type f -printf '%T@\n' 2>/dev/null | sort -rn | head -1 | cut -d. -f1)
+    REF=${LATEST:-$START}
+    AGE=$(( $(date +%s) - REF ))
+    if [ "$AGE" -gt "$STALE" ]; then
+      say "stall: newest file under $WATCH is ${AGE}s old > ${STALE}s — killing $PID for resume"
+      kill "$PID" 2>/dev/null; sleep 5
+      kill -9 "$PID" 2>/dev/null
+      break
+    fi
+  done
+  wait "$PID" 2>/dev/null; RC=$?
+  say "attempt $attempt exited rc=$RC"
+  if [ "$RC" -eq 0 ]; then say "done"; exit 0; fi
+done
+say "giving up after 6 attempts"
+exit 1
