@@ -13,6 +13,7 @@
 # One chip: strictly sequential, waits for r3_queue9 to drain first.
 set -u
 cd /root/repo
+MARKERS=runs/.queue_markers; mkdir -p "$MARKERS"
 
 Q=/tmp/r3j_queue.log
 log() { echo "[queue10 $(date +%H:%M:%S)] $*" >> "$Q"; }
@@ -23,28 +24,27 @@ if [ -f /tmp/r3i_queue.pid ]; then
   log "queue9 drained"
 fi
 
-run_job() { # name bound_s cmd...
-  local name=$1 bound=$2; shift 2
-  local marker=/tmp/r3j_done_$name
+run_job() { # name stale_s cmd... (watchdog pins AVMNIST_RUN_NAME=$name and
+  # sets AVMNIST_RESUME_LAST, so a rebooted session continues the same run dir)
+  local name=$1 stale=$2; shift 2
+  local marker=$MARKERS/r3j_done_$name
   if [ -f "$marker" ]; then log "skip $name (done)"; return 0; fi
   log "start $name: $*"
-  timeout "$bound" "$@" > "/tmp/r3j_${name}.log" 2>&1
+  scripts/run_with_stall_watchdog.sh "$name" "runs/parity/scratch/$name" "$stale" -- "$@"
   local rc=$?
   log "end $name rc=$rc"
   [ $rc -eq 0 ] && touch "$marker"
   return $rc
 }
 
-run_job tuneaug 10800 \
-  env AVMNIST_RUN_NAME=multi_central_tuneaug_r3 \
-  python -u run_dino.py --model multi_central \
+run_job multi_central_tuneaug_r3 900 \
+  timeout 10800 python -u run_dino.py --model multi_central \
     --config configs/config_parity_synth_tune.yaml \
     --metric mlp_acc --training_mode default \
     --hyperparameter_tune_augments --seeds 1
 
-run_job mc_refexact_3seed 10800 \
-  env AVMNIST_RUN_NAME=multi_central_refexact_3seed_r3 \
-  python -u run_dino.py --model multi_central \
+run_job multi_central_refexact_3seed_r3 900 \
+  timeout 10800 python -u run_dino.py --model multi_central \
     --config configs/config_parity_synth.yaml \
     --metric mlp_acc --training_mode default --seeds 1 2 3 --epochs 100
 

@@ -10,15 +10,22 @@
 #   2. seed 1 x 100 epochs -> the full-protocol-length canonical number.
 # Each job runs under the stall watchdog (kill + bit-exact resume on the
 # TPU-relay RPC-stall signature). One chip: jobs strictly sequential.
+#
+# Durable across session reboots: done-markers live under runs/.queue_markers
+# (the disk persists between builder sessions; /tmp does not), and each job
+# resumes from its rolling `last` checkpoint via AVMNIST_RESUME_LAST +
+# AVMNIST_RUN_NAME run-dir pinning, so re-running this script after a reboot
+# continues rather than restarts.
 set -u
 cd /root/repo
+MARKERS=runs/.queue_markers; mkdir -p "$MARKERS"
 
 Q=/tmp/r3i_queue.log
 log() { echo "[queue9 $(date +%H:%M:%S)] $*" >> "$Q"; }
 
 run_job() { # name stale_s cmd...
   local name=$1 stale=$2; shift 2
-  local marker=/tmp/r3i_done_$name
+  local marker=$MARKERS/r3i_done_$name
   if [ -f "$marker" ]; then log "skip $name (done)"; return 0; fi
   log "start $name: $*"
   scripts/run_with_stall_watchdog.sh "$name" "runs/parity/scratch/$name" "$stale" -- "$@"
