@@ -37,13 +37,13 @@ run_job() { # name stale_s cmd... (watchdog pins AVMNIST_RUN_NAME=$name and
   return $rc
 }
 
-run_job multi_central_tuneaug_r3 900 \
+run_job multi_central_tuneaug_r3 1500 \
   timeout 10800 python -u run_dino.py --model multi_central \
     --config configs/config_parity_synth_tune.yaml \
     --metric mlp_acc --training_mode default \
     --hyperparameter_tune_augments --seeds 1
 
-run_job multi_central_refexact_3seed_r3 900 \
+run_job multi_central_refexact_3seed_r3 1500 \
   timeout 10800 python -u run_dino.py --model multi_central \
     --config configs/config_parity_synth.yaml \
     --metric mlp_acc --training_mode default --seeds 1 2 3 --epochs 100

@@ -35,13 +35,13 @@ run_job() { # name stale_s cmd...
   return $rc
 }
 
-run_job dualvit_diag_canonical_s3 900 \
+run_job dualvit_diag_canonical_s3 1500 \
   env AVMNIST_MAX_SCAN_STEPS=64 timeout 7200 \
   python -u run_dino.py --model multi_dual_vit \
     --config configs/config_parity_synth_dualvit_canonical.yaml \
     --metric mlp_acc --training_mode default --seeds 3 --epochs 30
 
-run_job dualvit_canonical_100ep 900 \
+run_job dualvit_canonical_100ep 1500 \
   env AVMNIST_MAX_SCAN_STEPS=64 timeout 18000 \
   python -u run_dino.py --model multi_dual_vit \
     --config configs/config_parity_synth_dualvit_canonical.yaml \
