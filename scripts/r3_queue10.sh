@@ -15,6 +15,11 @@ set -u
 cd /root/repo
 MARKERS=runs/.queue_markers; mkdir -p "$MARKERS"
 
+# Drop any half-written rolling checkpoint (see r3_queue9.sh).
+for d in runs/parity/scratch/*/ckpt_seed*/last; do
+  [ -d "$d" ] && [ ! -f "$d/_CHECKPOINT_METADATA" ] && rm -rf "$d"
+done
+
 Q=/tmp/r3j_queue.log
 log() { echo "[queue10 $(date +%H:%M:%S)] $*" >> "$Q"; }
 

@@ -20,6 +20,12 @@ set -u
 cd /root/repo
 MARKERS=runs/.queue_markers; mkdir -p "$MARKERS"
 
+# Drop any half-written rolling checkpoint (a kill mid-save leaves a `last`
+# dir without orbax's finalize marker; resuming from it would crash the run).
+for d in runs/parity/scratch/*/ckpt_seed*/last; do
+  [ -d "$d" ] && [ ! -f "$d/_CHECKPOINT_METADATA" ] && rm -rf "$d"
+done
+
 Q=/tmp/r3i_queue.log
 log() { echo "[queue9 $(date +%H:%M:%S)] $*" >> "$Q"; }
 
