@@ -79,11 +79,21 @@ def save_last(directory: str, state: TrainState, epoch: int, rng,
     return save_checkpoint(os.path.join(directory, "last"), state, extra)
 
 
+def is_finalized(path: str) -> bool:
+    """True iff ``path`` holds a COMPLETE orbax checkpoint. A SIGKILL landing
+    mid-save (the stall watchdog's 5 s grace window) can leave a directory
+    without orbax's finalize marker; restoring from it crashes, so loaders must
+    treat it as absent."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_CHECKPOINT_METADATA"))
+
+
 def load_last(directory: str, template_state: TrainState):
     """Restore a ``save_last`` checkpoint; returns (state, epoch, rng, best)
-    or None when no ``last`` checkpoint exists."""
+    or None when no FINALIZED ``last`` checkpoint exists (half-written ones —
+    see ``is_finalized`` — are skipped, not crashed on)."""
     path = os.path.join(directory, "last")
-    if not os.path.isdir(path):
+    if not is_finalized(path):
         return None
     key_shape = np.asarray(jax.random.key_data(jax.random.key(0)))
     extra_template = {

@@ -29,8 +29,8 @@ from avmnist_tpu.eval.metrics import (
 )
 from avmnist_tpu.eval.probes import extract_features, knn_probe, train_linear_probe
 from avmnist_tpu.objectives.common import Objective
-from avmnist_tpu.train.checkpoint import (BestCheckpointer, load_checkpoint,
-                                          load_last, save_last)
+from avmnist_tpu.train.checkpoint import (BestCheckpointer, is_finalized,
+                                          load_checkpoint, load_last, save_last)
 from avmnist_tpu.train.loops import fit
 from avmnist_tpu.utils.logging import CSVLogger
 from avmnist_tpu.utils.reproducibility import set_seed
@@ -316,7 +316,10 @@ def run_seeds(
             if restored is not None:
                 state, last_epoch, fit_rng, ckpt.best = restored
                 start_epoch = last_epoch + 1
-                if ckpt.best is not None and os.path.isdir(
+                # Re-adopt `best` only when it is a COMPLETE checkpoint: a
+                # watchdog SIGKILL mid-save leaves an unfinalized dir that
+                # would crash the end-of-training reload (ADVICE r3).
+                if ckpt.best is not None and is_finalized(
                         os.path.join(ckpt_dir, "best")):
                     ckpt.best_path = os.path.join(ckpt_dir, "best")
         checkpoint_hook = None

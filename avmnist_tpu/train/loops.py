@@ -88,6 +88,25 @@ def _max_scan_steps() -> Optional[int]:
     return int(v) if v.isdigit() and int(v) > 0 else None
 
 
+def _touch_heartbeat() -> None:
+    """Liveness signal for the stall watchdog (scripts/run_with_stall_watchdog.sh).
+
+    Phases that write no files for many minutes (e.g. a hyperparameter-search
+    trial, which only appends to its trials journal at trial END) are otherwise
+    indistinguishable from a TPU-relay RPC stall by the watchdog's
+    newest-file-mtime check; touching ``$AVMNIST_HEARTBEAT`` once per epoch
+    keeps healthy long phases below the stale threshold."""
+    import os
+
+    path = os.environ.get("AVMNIST_HEARTBEAT")
+    if path:
+        try:
+            with open(path, "a"):
+                os.utime(path, None)
+        except OSError:
+            pass
+
+
 def run_epoch_resident(
     objective: Objective,
     state: TrainState,
@@ -290,6 +309,7 @@ def fit(
             checkpoint_hook(epoch, state, rng)
         metrics["epoch"] = epoch
         history.append(metrics)
+        _touch_heartbeat()
         if logger is not None:
             logger.log_metrics(metrics, step=int(jax.device_get(state.step)))
             # flush each epoch: long runs stay monitorable and a crash loses at

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Durably commit queue artifacts (done-markers, run dirs, rolling checkpoints)
+# from a background queue script. Git is the ONLY durable store in this
+# environment — the disk (gitignored files included) is re-provisioned fresh at
+# every session start, so anything not committed is lost (verified 2026-08-20).
+#
+#   scripts/queue_commit.sh "<message>" <path> [<path>...]
+#
+# Paths are staged with `git add -f` (rolling `last` checkpoints may be
+# gitignored). Concurrency-safe against the foreground builder session:
+# a PRIVATE index file keeps staging separate, and the ref moves via
+# compare-and-swap (update-ref <new> <expected-old>), so a foreground commit
+# landing mid-flight makes this retry on the new head instead of silently
+# reverting it.
+set -u
+cd /root/repo
+MSG=$1; shift
+BRANCH=$(git symbolic-ref -q HEAD) || { echo "queue_commit: detached HEAD" >&2; exit 1; }
+export GIT_INDEX_FILE=/tmp/queue_git_index_$$
+trap 'rm -f "$GIT_INDEX_FILE"' EXIT
+for i in 1 2 3 4 5; do
+  BASE=$(git rev-parse "$BRANCH") || { sleep 7; continue; }
+  git read-tree "$BASE" 2>/dev/null || { sleep 7; continue; }
+  git add -f -- "$@" 2>/dev/null
+  if git diff-index --cached --quiet "$BASE" --; then exit 0; fi
+  TREE=$(git write-tree) || { sleep 7; continue; }
+  NEW=$(git commit-tree "$TREE" -p "$BASE" -m "$MSG") || { sleep 7; continue; }
+  if git update-ref "$BRANCH" "$NEW" "$BASE" 2>/dev/null; then exit 0; fi
+  sleep $(( (RANDOM % 20) + 5 ))
+done
+echo "queue_commit: failed after 5 tries: $MSG" >&2
+exit 1

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 queue, leg 10 (waits for leg 9's chip): two remaining validation runs.
+# Round-3/4 queue, leg 10 (waits for leg 9's chip): two remaining validation runs.
 #
 #   A. Augmentation hyperparameter search IN ANGER (--hyperparameter_tune_augments):
 #      the reference's second Optuna phase (run_dino.py:41-123, TPE with the
@@ -10,24 +10,30 @@
 #   B. multi_central 100 ep x 3 seeds under the round-3 reference-exact
 #      defaults (10-retry RRC sampler default-on, commit db8ec77) — upgrades
 #      the n=1 recheck row in PARITY.md to a protocol 3-seed row.
-# One chip: strictly sequential, waits for r3_queue9 to drain first.
+#
+# One chip: strictly sequential. Waits for r3_queue9 via its pid file (which
+# queue9 now actually writes — ADVICE r3) AND, belt-and-braces, on queue9's
+# durable done-markers, so a parallel relaunch cannot double-book the chip.
+# Durability: git only (see r3_queue9.sh header) — artifacts are committed via
+# scripts/queue_commit.sh as each job drains.
 set -u
 cd /root/repo
 MARKERS=runs/.queue_markers; mkdir -p "$MARKERS"
 
-# Drop any half-written rolling checkpoint (see r3_queue9.sh).
-for d in runs/parity/scratch/*/ckpt_seed*/last; do
-  [ -d "$d" ] && [ ! -f "$d/_CHECKPOINT_METADATA" ] && rm -rf "$d"
-done
-
 Q=/tmp/r3j_queue.log
 log() { echo "[queue10 $(date +%H:%M:%S)] $*" >> "$Q"; }
 
-if [ -f /tmp/r3i_queue.pid ]; then
-  log "waiting on queue9 pid $(cat /tmp/r3i_queue.pid)"
-  while kill -0 "$(cat /tmp/r3i_queue.pid)" 2>/dev/null; do sleep 60; done
-  log "queue9 drained"
-fi
+queue9_active() {
+  # pid file written by a live r3_queue9.sh in THIS boot (checked against
+  # /proc cmdline so a recycled pid can't wedge us)...
+  if [ -f /tmp/r3i_queue.pid ]; then
+    local p; p=$(cat /tmp/r3i_queue.pid)
+    if grep -qa r3_queue9 "/proc/$p/cmdline" 2>/dev/null; then return 0; fi
+  fi
+  return 1
+}
+while queue9_active; do sleep 60; done
+log "queue9 drained (pid gone or never started)"
 
 run_job() { # name stale_s cmd... (watchdog pins AVMNIST_RUN_NAME=$name and
   # sets AVMNIST_RESUME_LAST, so a rebooted session continues the same run dir)
@@ -38,11 +44,16 @@ run_job() { # name stale_s cmd... (watchdog pins AVMNIST_RUN_NAME=$name and
   scripts/run_with_stall_watchdog.sh "$name" "runs/parity/scratch/$name" "$stale" -- "$@"
   local rc=$?
   log "end $name rc=$rc"
-  [ $rc -eq 0 ] && touch "$marker"
+  if [ $rc -eq 0 ]; then
+    touch "$marker"
+    rm -rf "runs/parity/scratch/$name"/ckpt_seed*/last
+    scripts/queue_commit.sh "Queue: $name complete (artifacts + done-marker)" \
+      "$marker" "runs/parity/scratch/$name" >> "$Q" 2>&1
+  fi
   return $rc
 }
 
-run_job multi_central_tuneaug_r3 1500 \
+run_job multi_central_tuneaug_r3 2700 \
   timeout 10800 python -u run_dino.py --model multi_central \
     --config configs/config_parity_synth_tune.yaml \
     --metric mlp_acc --training_mode default \

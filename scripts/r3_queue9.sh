@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 queue, leg 9: complete the dual-ViT canonical-rescue protocol.
+# Round-3/4 queue, leg 9: complete the dual-ViT canonical-rescue protocol.
 #
 # Context: the faithful recipe collapses to DINO's uniform fixed point on this
 # corpus (root cause closed in PARITY.md); the canonical-protection variant
@@ -11,20 +11,18 @@
 # Each job runs under the stall watchdog (kill + bit-exact resume on the
 # TPU-relay RPC-stall signature). One chip: jobs strictly sequential.
 #
-# Durable across session reboots: done-markers live under runs/.queue_markers
-# (the disk persists between builder sessions; /tmp does not), and each job
-# resumes from its rolling `last` checkpoint via AVMNIST_RESUME_LAST +
-# AVMNIST_RUN_NAME run-dir pinning, so re-running this script after a reboot
-# continues rather than restarts.
+# Durability: git is the ONLY durable store — the disk (including gitignored
+# files and /tmp) is re-provisioned fresh at session start. Done-markers under
+# runs/.queue_markers and each job's artifacts + rolling `last` checkpoint are
+# therefore COMMITTED (scripts/queue_commit.sh) as each job drains; re-running
+# this script after a reboot skips done jobs and resumes the in-flight one
+# from its committed checkpoint via AVMNIST_RESUME_LAST + AVMNIST_RUN_NAME.
 set -u
 cd /root/repo
 MARKERS=runs/.queue_markers; mkdir -p "$MARKERS"
 
-# Drop any half-written rolling checkpoint (a kill mid-save leaves a `last`
-# dir without orbax's finalize marker; resuming from it would crash the run).
-for d in runs/parity/scratch/*/ckpt_seed*/last; do
-  [ -d "$d" ] && [ ! -f "$d/_CHECKPOINT_METADATA" ] && rm -rf "$d"
-done
+# Interlock: queue10 waits on this pid (ADVICE r3 — previously nothing wrote it).
+echo $$ > /tmp/r3i_queue.pid
 
 Q=/tmp/r3i_queue.log
 log() { echo "[queue9 $(date +%H:%M:%S)] $*" >> "$Q"; }
@@ -37,7 +35,14 @@ run_job() { # name stale_s cmd...
   scripts/run_with_stall_watchdog.sh "$name" "runs/parity/scratch/$name" "$stale" -- "$@"
   local rc=$?
   log "end $name rc=$rc"
-  [ $rc -eq 0 ] && touch "$marker"
+  if [ $rc -eq 0 ]; then
+    touch "$marker"
+    # Rolling `last` is only for resuming an in-flight run — drop it once the
+    # job is done (100 MB of dead weight per run); keep `best` for reevaluate.
+    rm -rf "runs/parity/scratch/$name"/ckpt_seed*/last
+    scripts/queue_commit.sh "Queue: $name complete (artifacts + done-marker)" \
+      "$marker" "runs/parity/scratch/$name" >> "$Q" 2>&1
+  fi
   return $rc
 }
 
@@ -54,3 +59,4 @@ run_job dualvit_canonical_100ep 1500 \
     --metric mlp_acc --training_mode default --seeds 1 --epochs 100
 
 log "queue9 complete"
+rm -f /tmp/r3i_queue.pid

@@ -6,12 +6,13 @@
 #
 # Launches cmd with AVMNIST_SAVE_LAST_EVERY/AVMNIST_RESUME_LAST set, watches
 # the newest file anywhere under <watch_dir> (metrics.csv flushes every epoch;
-# checkpoints and downstream CSVs cover the probe phases); if it goes stale for longer
-# than <stale_s> while the process is alive (the TPU-relay RPC-stall signature:
-# main thread parked in futex_do_wait, 0% CPU, frozen metrics — see
-# PARITY.md/memory notes, observed twice on 2026-08-19), kills it and
-# relaunches. The relaunch resumes bit-exactly from the rolling `last`
-# checkpoint (resident path). Max 5 relaunches.
+# the train loop also touches $AVMNIST_HEARTBEAT each epoch, which covers
+# phases that write no other files, e.g. hyperparameter-search trials); if it
+# goes stale for longer than <stale_s> while the process is alive (the
+# TPU-relay RPC-stall signature: main thread parked in futex_do_wait, 0% CPU,
+# frozen metrics — observed twice on 2026-08-19), kills it and relaunches. The
+# relaunch resumes bit-exactly from the rolling `last` checkpoint (resident
+# path). Max 5 relaunches.
 set -u
 NAME=$1; WATCH=$2; STALE=$3; shift 3
 [ "$1" = "--" ] && shift
@@ -19,10 +20,29 @@ NAME=$1; WATCH=$2; STALE=$3; shift 3
 LOG=/tmp/watchdog_${NAME}.log
 say() { echo "[watchdog $(date +%H:%M:%S)] $*" >> "$LOG"; }
 
+# Drop checkpoint debris that a previous kill -9 (5s grace) may have left
+# mid-orbax-save; runs before EVERY attempt, since the watchdog itself creates
+# such debris when it kills a run (ADVICE r3). Three kinds:
+#   - `last`/`best` dirs without orbax's finalize marker (resuming crashes);
+#   - `*.orbax-checkpoint-tmp-*` staging dirs (dead weight, confuses find -newer).
+# The in-process loaders also validate the marker (checkpoint.is_finalized), so
+# this is belt and braces.
+clean_ckpt_debris() {
+  for d in "$WATCH"/ckpt_seed*/last "$WATCH"/ckpt_seed*/best; do
+    if [ -d "$d" ] && [ ! -f "$d/_CHECKPOINT_METADATA" ]; then
+      say "dropping unfinalized checkpoint $d"
+      rm -rf "$d"
+    fi
+  done
+  find "$WATCH" -maxdepth 3 -name '*.orbax-checkpoint-tmp-*' -exec rm -rf {} + 2>/dev/null
+}
+
 for attempt in $(seq 1 6); do
+  clean_ckpt_debris
   say "attempt $attempt: $*"
   env AVMNIST_SAVE_LAST_EVERY="${AVMNIST_SAVE_LAST_EVERY:-2}" AVMNIST_RESUME_LAST=1 \
-      AVMNIST_RUN_NAME="$NAME" "$@" > "/tmp/run_${NAME}_a${attempt}.log" 2>&1 &
+      AVMNIST_RUN_NAME="$NAME" AVMNIST_HEARTBEAT="$WATCH/.heartbeat" \
+      "$@" > "/tmp/run_${NAME}_a${attempt}.log" 2>&1 &
   PID=$!
   START=$(date +%s)
   while kill -0 "$PID" 2>/dev/null; do

@@ -134,3 +134,14 @@ def test_save_last_resume_is_exact(tmp_path):
     flat_b = jax.tree.leaves(jax.device_get(state_b.params))
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(a, b)
+
+    # A half-written checkpoint (SIGKILL mid orbax save leaves the dir without
+    # the finalize marker) must read as ABSENT, not crash the resume
+    # (checkpoint.is_finalized; ADVICE r3).
+    from avmnist_tpu.train.checkpoint import is_finalized
+
+    last_dir = os.path.join(ckpt_dir, "last")
+    assert is_finalized(last_dir)
+    os.remove(os.path.join(last_dir, "_CHECKPOINT_METADATA"))
+    assert not is_finalized(last_dir)
+    assert load_last(ckpt_dir, template) is None
