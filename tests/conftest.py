@@ -17,8 +17,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is compile-dominated on the 1-core CI host,
-# and programs are identical between runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cpu")
+# and programs are identical between runs. Host-keyed dir: XLA:CPU AOT entries
+# embed LLVM tuning features the load-time check rejects on a DIFFERENT host
+# (sessions move between machines), so each host family gets its own namespace
+# (see __graft_entry__._host_keyed_cache_dir).
+import __graft_entry__  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  __graft_entry__._host_keyed_cache_dir("/root/.cache/jax_comp_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -211,6 +211,29 @@ def test_dino_per_view_bn(synthetic_arrays):
 
 
 @pytest.mark.slow
+def test_multimodal_simclr_on_mesh(synthetic_arrays, mesh8):
+    """The 4-branch multimodal SimCLR step (lax.switch over whole fwd+bwd+Adam
+    branches) over the data mesh: sharded NT-Xent loss == single-device loss on
+    the same batch/rng (global negatives all-gathered over ICI). This is the
+    mesh coverage the driver dryrun delegates here (__graft_entry__._dryrun_impl
+    runs the single-branch audio_only variant to fit the driver's clock)."""
+    from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
+    from avmnist_tpu.parallel import replicate_state, shard_batch
+
+    train, _ = synthetic_arrays
+    obj = make_simclr_objective(SimCLRConfig(output_dim=16, projection_dim=8,
+                                             compute_dtype=jnp.float32))
+    state = obj.init_fn(jax.random.key(0))
+    batch = next(iter(Batches(train, batch_size=16, shuffle=False)))
+    _, m_local = obj.step_fn(state, batch, jax.random.key(1))
+    _, m_mesh = obj.step_fn(replicate_state(state, mesh8),
+                            shard_batch(batch, mesh8), jax.random.key(1))
+    np.testing.assert_allclose(float(m_local["train_loss"]),
+                               float(m_mesh["train_loss"]), rtol=1e-4)
+    assert float(m_local["mode"]) == float(m_mesh["mode"])
+
+
+@pytest.mark.slow
 def test_dino_on_mesh(synthetic_arrays, mesh8):
     from avmnist_tpu.parallel import shard_batch, replicate_state
 
