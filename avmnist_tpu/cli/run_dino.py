@@ -185,7 +185,7 @@ def main(argv=None):
             import dataclasses
 
             dcfg = dataclasses.replace(dcfg, best_augments=augments)
-        return make_dino_objective(dcfg)
+        return make_dino_objective(dcfg, mesh=mesh)
 
     def trial_train(overrides_or_augments, trial, is_augment=False):
         """Short training for one tuning trial (objective_dino.py: epochs_per_trial,

@@ -13,7 +13,7 @@ WORKLOADS = (
 )
 
 
-def make_workload_objective(name: str, hp, steps_per_epoch=None):
+def make_workload_objective(name: str, hp, steps_per_epoch=None, mesh=None):
     from avmnist_tpu.objectives.autoencoder import (
         AutoencoderConfig,
         make_autoencoder_objective,
@@ -27,16 +27,16 @@ def make_workload_objective(name: str, hp, steps_per_epoch=None):
     if name == "audio_simclr":
         return make_simclr_objective(SimCLRConfig(
             audio_only=True, output_dim=hp.get("output_dim", 256),
-            projection_dim=hp.get("projection_dim", 128), **common))
+            projection_dim=hp.get("projection_dim", 128), **common), mesh=mesh)
     if name == "audio_simclr_mobilevit":
         return make_simclr_objective(SimCLRConfig(
             audio_only=True, audio_encoder_name="spectrogram_mobile_vit",
             output_dim=hp.get("output_dim", 256),
-            projection_dim=hp.get("projection_dim", 128), **common))
+            projection_dim=hp.get("projection_dim", 128), **common), mesh=mesh)
     if name == "multimodal_simclr":
         return make_simclr_objective(SimCLRConfig(
             output_dim=hp.get("output_dim", 256),
-            projection_dim=hp.get("projection_dim", 256), **common))
+            projection_dim=hp.get("projection_dim", 256), **common), mesh=mesh)
     if name == "info_nce":
         return make_infonce_objective(InfoNCEConfig(
             output_dim=hp.get("output_dim", 256),
@@ -85,7 +85,7 @@ def main(argv=None):
                            args.workload)
     os.makedirs(out_dir, exist_ok=True)
     result = train_and_evaluate_ssl(
-        lambda: make_workload_objective(args.workload, hp, steps),
+        lambda: make_workload_objective(args.workload, hp, steps, mesh=mesh),
         config, train_split, val_split, test, out_dir, args.workload,
         epochs=args.epochs, mesh=mesh, seeds=tuple(args.seeds))
     print({k: v for k, v in result["accuracies"].items()})

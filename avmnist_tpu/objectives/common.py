@@ -34,6 +34,32 @@ def per_step_rng(rng, state):
     return jax.random.fold_in(rng, state.step)
 
 
+def anchor_data_sharding(x, mesh):
+    """Re-anchor the leading (batch) dimension of ``x`` (array or pytree) onto
+    the mesh's data axis.
+
+    WHY THIS EXISTS: the on-device augmentation region (per-sample RNG streams
+    + retry-RRC gathers) defeats GSPMD's sharding propagation. Without an
+    explicit constraint on the augmented views, XLA all-gathers them and
+    REPLICATES the entire network forward/backward on every device — measured
+    on the 8-device mesh as per-device FLOPs identical to the 1-device compile
+    (round-4 finding; scripts/collective_profile.py artifact). Anchoring the
+    views' batch dim restores data-parallel partitioning: per-device FLOPs drop
+    ~n_devices-fold and XLA inserts the gradient/BN/center all-reduces.
+
+    No-op when ``mesh`` is None (single-device paths and tests). An Objective
+    built with a mesh binds to THAT mesh (step_fn traces the constraint in);
+    build a fresh objective for a different mesh — same contract as the
+    resident-program cache (train/loops.py)."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    return jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(a, sharding), x)
+
+
 def cast_tree(tree, dtype):
     return jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree

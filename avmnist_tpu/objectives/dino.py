@@ -38,6 +38,7 @@ from avmnist_tpu.models.layers import ProjectionHead
 from avmnist_tpu.models.registry import build_encoder, is_unimodal
 from avmnist_tpu.objectives.common import (
     Objective,
+    anchor_data_sharding,
     cast_tree,
     cross_entropy,
     normalize_audio,
@@ -182,7 +183,11 @@ class DinoConfig:
     identity_augment: bool = False     # profiling only: tile views, no transforms
 
 
-def make_dino_objective(cfg: DinoConfig) -> Objective:
+def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
+    """``mesh``: data-parallel mesh the step will run under, or None for
+    single-device. Needed so the folded views can be re-anchored onto the data
+    axis after augmentation (anchor_data_sharding — without it GSPMD replicates
+    the whole network per device). The objective binds to this mesh."""
     unimodal = is_unimodal(cfg.model_name)
     if unimodal and cfg.mode != "default":
         raise ValueError("hybrid modes are multimodal-only (run_dino.py:585-593)")
@@ -259,9 +264,13 @@ def make_dino_objective(cfg: DinoConfig) -> Objective:
         b = images.shape[0]
 
         # Student sees global + local; teacher global only — one forward each.
-        s_imgs = jnp.concatenate([fold(gi), fold(li)])
-        s_auds = jnp.concatenate([fold(ga), fold(la)])
-        t_imgs, t_auds = fold(gi), fold(ga)
+        # anchor: re-shard the folded views over 'data' (see common.py — the
+        # augment region breaks GSPMD propagation; without this every device
+        # runs the FULL network replicated).
+        s_imgs = anchor_data_sharding(jnp.concatenate([fold(gi), fold(li)]), mesh)
+        s_auds = anchor_data_sharding(jnp.concatenate([fold(ga), fold(la)]), mesh)
+        t_imgs = anchor_data_sharding(fold(gi), mesh)
+        t_auds = anchor_data_sharding(fold(ga), mesh)
 
         def apply_views(net_, params_, stats_, imgs_, auds_, key_, n_views):
             """Forward over folded views; with per_view_bn, vmap per view so BN batch

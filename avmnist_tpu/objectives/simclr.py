@@ -26,6 +26,7 @@ from avmnist_tpu.models.encoders import ImageEncoder, SpectrogramEncoder, Spectr
 from avmnist_tpu.models.layers import ProjectionHead
 from avmnist_tpu.objectives.common import (
     Objective,
+    anchor_data_sharding,
     cast_tree,
     normalize_audio,
     normalize_images,
@@ -140,7 +141,10 @@ class SimCLRConfig:
     compute_dtype: Any = jnp.bfloat16
 
 
-def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
+def make_simclr_objective(cfg: SimCLRConfig, mesh=None) -> Objective:
+    """``mesh``: data-parallel mesh the step runs under (see
+    common.anchor_data_sharding — re-anchors the augmented views so GSPMD
+    partitions the encoders instead of replicating them). Binds to the mesh."""
     net = _SimCLRNet(output_dim=cfg.output_dim, projection_dim=cfg.projection_dim,
                      audio_only=cfg.audio_only,
                      audio_encoder_name=cfg.audio_encoder_name)
@@ -235,7 +239,8 @@ def make_simclr_objective(cfg: SimCLRConfig) -> Objective:
         k_aug, k_mode, k_net = jax.random.split(rng, 3)
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
-        img1, aud1, img2, aud2 = augment(images[..., 0], audios[..., 0], k_aug)
+        img1, aud1, img2, aud2 = anchor_data_sharding(
+            augment(images[..., 0], audios[..., 0], k_aug), mesh)
         operands = (state, img1, aud1, img2, aud2, k_net)
         if cfg.audio_only:
             mode = jnp.ones((), jnp.int32)

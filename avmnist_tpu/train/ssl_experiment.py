@@ -63,7 +63,9 @@ def train_and_evaluate_ssl(
     acc: Dict[str, List[float]] = {f"{m}_{p}": [] for m in modalities
                                    for p in ("knn_acc", "mlp_acc")}
     ckpt_paths = []
-    t_total = 0.0
+    # Phase-time breakdown (VERDICT r3 #7: the E2E multiple trails the device
+    # multiple on short workloads; make WHERE the wall-clock goes an artifact).
+    t_total = t_steady = t_ckpt = t_probe = 0.0
     for seed in seeds:
         set_seed(seed)
         state = jax.tree.map(lambda x: x, init_state)
@@ -77,20 +79,33 @@ def train_and_evaluate_ssl(
             on_epoch_end=lambda e, st, m: (ckpt.update(m, st) and {}) or {},
             state=state)
         t_total += time.time() - t0
+        # steady-state device time: epochs at the median epoch_time (the first
+        # epoch carries the JIT compile; the gap total-steady = compile + host)
+        times = sorted(h.get("epoch_time", 0.0) for h in history)
+        t_steady += times[len(times) // 2] * len(times)
+        t1 = time.time()
         if ckpt.best_path:
             state = load_checkpoint(ckpt.best_path, state)
         ckpt_paths.append(save_checkpoint(
             os.path.join(out_dir, f"final_seed{seed}"), state))
+        t_ckpt += time.time() - t1
+        t1 = time.time()
         for m in modalities:
             k, p = _modality_probe(objective, state, m, train_split, val_split, test,
                                    seed=seed)
             acc[f"{m}_knn_acc"].append(k)
             acc[f"{m}_mlp_acc"].append(p)
+        t_probe += time.time() - t1
     write_performance_summary(
         os.path.join(out_dir, f"{model_name}_performance_summary.txt"),
         model_name, acc,
         extra_lines=[f"training_time_hours: {t_total / 3600:.2f}",
-                     f"n_seeds: {len(seeds)}"])
+                     f"n_seeds: {len(seeds)}",
+                     f"steady_train_time_hours: {t_steady / 3600:.3f}",
+                     f"compile_and_host_overhead_hours: "
+                     f"{max(t_total - t_steady, 0.0) / 3600:.3f}",
+                     f"checkpoint_time_hours: {t_ckpt / 3600:.3f}",
+                     f"probe_time_hours: {t_probe / 3600:.3f}"])
     return {"accuracies": acc, "checkpoints": ckpt_paths,
             "objective": objective, "init_state": init_state}
 

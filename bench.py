@@ -46,9 +46,20 @@ BASE_DINO = 2700.0                               # BASELINE.md:33-35 generic SSL
 PEAK_FLOPS = {"v5e": 197e12}.get(__import__("os").environ.get(
     "PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
 PEAK_HBM = 819e9  # v5e HBM bytes/s — roofline denominator for memory-bound steps
-# NB: "bytes accessed" is XLA's post-fusion operand+output sum, an OVERCOUNT of
-# physical HBM traffic where consecutive fusions reuse buffers — rows can print
-# hbm_roofline_pct > 100 (docs/PERF_NOTES.md caveat); read it as "at the wall".
+# Roofline semantics (VERDICT r3 #6): the numerator is XLA's post-fusion
+# "bytes accessed" — every inter-instruction buffer counted as one HBM write +
+# N reads. When the APPARENT bandwidth (bytes/dt) exceeds PEAK_HBM, that is
+# physically impossible for HBM-resident traffic; it means part of the modeled
+# traffic stayed in VMEM (small working sets), i.e. the program is NOT at the
+# HBM wall. We therefore report hbm_roofline_pct clamped to <=100 and expose
+# the excess explicitly as vmem_excess_x (apparent/peak) so "at the wall"
+# (pct ~100, excess absent) and "VMEM-fed" (excess > 1) are distinguishable.
+
+# v5e-8 projection assumptions for the DINO row (scaling-book ring all-reduce:
+# t = 2*(N-1)/N * bytes/ici_bw per op), applied to the MEASURED collective
+# payload in docs/collective_profile.json (scripts/collective_profile.py).
+ICI_BW = 45e9          # v5e one-way ICI bandwidth per link, bytes/s
+ICI_LATENCY_PER_OP = 1e-6  # per-collective launch latency, seconds
 
 
 def measure(objective, batch, batch_size: int, n_steps: int = 20):
@@ -94,8 +105,8 @@ def measure(objective, batch, batch_size: int, n_steps: int = 20):
     assert np.isfinite(final)
     achieved = program_flops / dt if program_flops else None
     mfu = 100.0 * achieved / PEAK_FLOPS if achieved else None
-    hbm = 100.0 * (program_bytes / dt) / PEAK_HBM if program_bytes else None
-    return n_steps * batch_size / dt, achieved, mfu, hbm
+    apparent_bw = (program_bytes / dt) if program_bytes else None
+    return n_steps * batch_size / dt, achieved, mfu, apparent_bw, dt / n_steps
 
 
 def workloads():
@@ -141,6 +152,31 @@ def workloads():
            lambda: make_dino_objective(DinoConfig(model_name="multi_central")))
 
 
+def _v5e8_projection(step_time: float, rate: float, baseline: float):
+    """Projected v5e-8 multiple for the DINO row from the MEASURED collective
+    payload (docs/collective_profile.json; scripts/collective_profile.py
+    extracts every collective from the optimized 8-device SPMD HLO). Weak
+    scaling (per-chip batch kept), ring all-reduce model; assumptions
+    (ICI_BW, ICI_LATENCY_PER_OP) are module constants."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "collective_profile.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        prof = json.load(f)
+    n = prof["n_devices"]
+    t_coll = (2 * (n - 1) / n) * prof["collective_bytes_total"] / ICI_BW \
+        + prof["collective_ops"] * ICI_LATENCY_PER_OP
+    projected_rate = n * rate / (1 + t_coll / step_time)
+    return {
+        "vs_baseline_v5e8_projected": round(projected_rate / baseline, 2),
+        "collective_bytes_per_step": prof["collective_bytes_total"],
+        "collective_overhead_pct": round(100 * t_coll / step_time, 3),
+    }
+
+
 def main():
     from avmnist_tpu.data.synthetic import make_synthetic_avmnist
 
@@ -148,7 +184,8 @@ def main():
     for metric, unit, batch_size, baseline, build in workloads():
         try:
             batch = train.gather(np.arange(batch_size) % len(train.labels))
-            rate, achieved, mfu, hbm = measure(build(), batch, batch_size)
+            rate, achieved, mfu, apparent_bw, step_time = measure(
+                build(), batch, batch_size)
             row = {
                 "metric": metric,
                 "value": round(rate, 1),
@@ -158,8 +195,17 @@ def main():
             if mfu is not None:
                 row["tflops_per_sec"] = round(achieved / 1e12, 2)
                 row["mfu_pct"] = round(mfu, 2)
-            if hbm is not None:
-                row["hbm_roofline_pct"] = round(hbm, 2)
+            if apparent_bw is not None:
+                # <=100 by construction; excess apparent bandwidth = VMEM-fed
+                # traffic, surfaced as its own factor (see PEAK_HBM comment).
+                row["hbm_roofline_pct"] = round(
+                    min(100.0, 100.0 * apparent_bw / PEAK_HBM), 2)
+                if apparent_bw > PEAK_HBM:
+                    row["vmem_excess_x"] = round(apparent_bw / PEAK_HBM, 2)
+            if metric.startswith("dino_"):
+                proj = _v5e8_projection(step_time, rate, baseline)
+                if proj:
+                    row.update(proj)
             print(json.dumps(row), flush=True)
         except Exception as e:  # keep emitting the remaining workloads
             print(json.dumps({"metric": metric, "error": f"{type(e).__name__}: {e}"}),

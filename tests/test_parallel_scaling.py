@@ -1,0 +1,77 @@
+"""SPMD partition-quality regression tests (round-4 finding).
+
+GSPMD's sharding propagation gives up inside the on-device augmentation region
+(per-sample RNG + retry-RRC gathers); without an explicit re-anchor
+(objectives/common.py anchor_data_sharding) XLA silently all-gathers the
+augmented views and REPLICATES the whole network on every device — the step
+still produces correct losses, so only a cost-model check catches it. These
+tests pin the per-device FLOPs ratio between the 1-device and 8-device
+compiles: data-parallel partitioning must cut per-device work substantially.
+
+(The driver dryrun asserts the weaker "a gradient all-reduce exists" on the
+same backend; scripts/collective_profile.py writes the measured collective
+payload artifact used by bench.py's v5e-8 projection.)
+"""
+import jax
+import numpy as np
+import pytest
+
+from avmnist_tpu.parallel import create_mesh, replicate_state, shard_batch
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return create_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+
+
+def _per_device_flops(objective, batch_arrays, mesh=None):
+    state = objective.init_fn(jax.random.key(0))
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+        batch = shard_batch(batch_arrays, mesh)
+    else:
+        one = jax.devices()[0]
+        state = jax.device_put(state, one)
+        batch = {k: jax.device_put(np.asarray(v), one)
+                 for k, v in batch_arrays.items()}
+    compiled = objective.step_fn.lower(state, batch, jax.random.key(1)).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca.get("flops", 0.0)), compiled
+
+
+def _batch(synthetic_arrays, n=32):
+    train, _ = synthetic_arrays
+    return train.gather(np.arange(n))
+
+
+def test_dino_step_partitions_over_mesh(synthetic_arrays, mesh8):
+    """The 8-device DINO step must do ~1/8 the per-device FLOPs of the 1-device
+    compile (threshold 1/4 allows collective/padding overhead) and must contain
+    a gradient all-reduce."""
+    from avmnist_tpu.objectives.dino import DinoConfig, make_dino_objective
+
+    cfg = DinoConfig(model_name="multi_central", projection_dim=16,
+                     output_dim=32, encoder_output_dim=32,
+                     n_global_views=2, n_local_views=2)
+    batch = _batch(synthetic_arrays)
+    f1, _ = _per_device_flops(make_dino_objective(cfg), batch)
+    f8, compiled = _per_device_flops(make_dino_objective(cfg, mesh=mesh8),
+                                     batch, mesh8)
+    assert f8 < f1 / 4, (
+        f"replicated lowering: per-device flops {f8:.3e} vs 1-device {f1:.3e}")
+    assert "all-reduce" in compiled.as_text()
+
+
+@pytest.mark.slow
+def test_simclr_step_partitions_over_mesh(synthetic_arrays, mesh8):
+    from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
+
+    cfg = SimCLRConfig(output_dim=32, projection_dim=16, audio_only=True)
+    batch = _batch(synthetic_arrays)
+    f1, _ = _per_device_flops(make_simclr_objective(cfg), batch)
+    f8, compiled = _per_device_flops(make_simclr_objective(cfg, mesh=mesh8),
+                                     batch, mesh8)
+    assert f8 < f1 / 4, (
+        f"replicated lowering: per-device flops {f8:.3e} vs 1-device {f1:.3e}")
+    assert "all-reduce" in compiled.as_text()
