@@ -246,6 +246,7 @@ class SeedResult:
     history: List[Dict]
     training_time: float
     gates: Optional[Dict[str, float]] = None  # learned modality gates, if present
+    phases: Optional[Dict[str, float]] = None  # wall-clock breakdown (VERDICT r3 #7)
 
 
 def extract_gates(state) -> Optional[Dict[str, float]]:
@@ -348,14 +349,23 @@ def run_seeds(
         training_time = time.time() - t0
         if ckpt.best_path:
             state = load_checkpoint(ckpt.best_path, state)
+        t1 = time.time()
         knn_acc, mlp_acc, _ = compute_accuracies(
             objective, state, train_split, val_split, test,
             downstream_lr=1e-3, seed=seed,
             out_dir=os.path.join(model_dir_scratch, "downstream"),
             model_name=f"{model_name}_seed{seed}", feature_fn=feature_fn,
             probe_bn_mode=probe_bn_mode)
+        # phase breakdown (VERDICT r3 #7): steady = epochs at the median
+        # epoch_time; training_time - steady = JIT compile + host overhead;
+        # downstream probes timed separately. Lands in final_results CSV.
+        times = sorted(h.get("epoch_time", 0.0) for h in history) or [0.0]
+        seed_phases = {
+            "steady_train_time": times[len(times) // 2] * len(times),
+            "downstream_probe_time": time.time() - t1,
+        }
         results.append(SeedResult(seed, knn_acc, mlp_acc, history, training_time,
-                                  gates=extract_gates(state)))
+                                  gates=extract_gates(state), phases=seed_phases))
     return results
 
 
@@ -388,6 +398,7 @@ def summarize_experiment(
         "downstream_mlp_acc": float(np.mean(mlp)),
         "downstream_mlp_acc_std": float(np.std(mlp)),
         "total_training_time": results[-1].training_time,
+        **{k: round(v, 2) for k, v in (results[-1].phases or {}).items()},
         "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
     }
     import csv
