@@ -37,7 +37,9 @@ def _per_device_flops(objective, batch_arrays, mesh=None):
     compiled = objective.step_fn.lower(state, batch, jax.random.key(1)).compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    return float(ca.get("flops", 0.0)), compiled
+    loss = float(jax.device_get(
+        compiled(state, batch, jax.random.key(1))[1]["train_loss"]))
+    return float(ca.get("flops", 0.0)), compiled, loss
 
 
 def _batch(synthetic_arrays, n=32):
@@ -55,12 +57,15 @@ def test_dino_step_partitions_over_mesh(synthetic_arrays, mesh8):
                      output_dim=32, encoder_output_dim=32,
                      n_global_views=2, n_local_views=2)
     batch = _batch(synthetic_arrays)
-    f1, _ = _per_device_flops(make_dino_objective(cfg), batch)
-    f8, compiled = _per_device_flops(make_dino_objective(cfg, mesh=mesh8),
-                                     batch, mesh8)
+    f1, _, loss1 = _per_device_flops(make_dino_objective(cfg), batch)
+    f8, compiled, loss8 = _per_device_flops(make_dino_objective(cfg, mesh=mesh8),
+                                            batch, mesh8)
     assert f8 < f1 / 4, (
         f"replicated lowering: per-device flops {f8:.3e} vs 1-device {f1:.3e}")
     assert "all-reduce" in compiled.as_text()
+    # the anchor is a layout constraint, not a math change: same batch + rng
+    # must give the same loss (bf16 reduction-order tolerance)
+    assert abs(loss8 - loss1) / max(abs(loss1), 1e-9) < 2e-2, (loss1, loss8)
 
 
 @pytest.mark.slow
@@ -69,9 +74,10 @@ def test_simclr_step_partitions_over_mesh(synthetic_arrays, mesh8):
 
     cfg = SimCLRConfig(output_dim=32, projection_dim=16, audio_only=True)
     batch = _batch(synthetic_arrays)
-    f1, _ = _per_device_flops(make_simclr_objective(cfg), batch)
-    f8, compiled = _per_device_flops(make_simclr_objective(cfg, mesh=mesh8),
-                                     batch, mesh8)
+    f1, _, loss1 = _per_device_flops(make_simclr_objective(cfg), batch)
+    f8, compiled, loss8 = _per_device_flops(make_simclr_objective(cfg, mesh=mesh8),
+                                            batch, mesh8)
     assert f8 < f1 / 4, (
         f"replicated lowering: per-device flops {f8:.3e} vs 1-device {f1:.3e}")
     assert "all-reduce" in compiled.as_text()
+    assert abs(loss8 - loss1) / max(abs(loss1), 1e-9) < 2e-2, (loss1, loss8)
