@@ -81,7 +81,7 @@ def train_and_evaluate_ssl(
         t_total += time.time() - t0
         # steady-state device time: epochs at the median epoch_time (the first
         # epoch carries the JIT compile; the gap total-steady = compile + host)
-        times = sorted(h.get("epoch_time", 0.0) for h in history)
+        times = sorted(h.get("epoch_time", 0.0) for h in history) or [0.0]
         t_steady += times[len(times) // 2] * len(times)
         t1 = time.time()
         if ckpt.best_path:

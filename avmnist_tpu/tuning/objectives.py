@@ -45,7 +45,7 @@ def make_dino_trial_objective(
             valid = {f.name for f in dataclasses.fields(type(cfg))}
             cfg = dataclasses.replace(
                 cfg, **{k: v for k, v in (overrides or {}).items() if k in valid})
-        objective = make_dino_objective(cfg)
+        objective = make_dino_objective(cfg, mesh=mesh)
         hook = make_mlp_probe_hook(objective, train_split, val_split,
                                    learning_rate=cfg.learning_rate)
         best: Optional[float] = None

@@ -21,7 +21,13 @@ trap 'rm -f "$GIT_INDEX_FILE"' EXIT
 for i in 1 2 3 4 5; do
   BASE=$(git rev-parse "$BRANCH") || { sleep 7; continue; }
   git read-tree "$BASE" 2>/dev/null || { sleep 7; continue; }
-  git add -f -- "$@" 2>/dev/null
+  # A missing artifact path must be LOUD: committing just the done-marker
+  # would record the job as done while its results are lost on the next
+  # disk wipe. Log the error and fail instead of silently dropping paths.
+  if ! git add -f -- "$@" 2>&1; then
+    echo "queue_commit: git add failed for: $*" >&2
+    exit 1
+  fi
   if git diff-index --cached --quiet "$BASE" --; then exit 0; fi
   TREE=$(git write-tree) || { sleep 7; continue; }
   NEW=$(git commit-tree "$TREE" -p "$BASE" -m "$MSG") || { sleep 7; continue; }

@@ -32,8 +32,16 @@ queue9_active() {
   fi
   return 1
 }
-while queue9_active; do sleep 60; done
-log "queue9 drained (pid gone or never started)"
+queue9_done() { # belt-and-braces: queue9's committed done-markers (survive reboot)
+  [ -f "$MARKERS/r3i_done_dualvit_diag_canonical_s3" ] && \
+  [ -f "$MARKERS/r3i_done_dualvit_canonical_100ep" ]
+}
+# Startup grace closes the relaunch race: both queues are started together at
+# session start, and if this check ran before queue9 wrote its pid file we
+# would double-book the chip.
+queue9_done || sleep 90
+while queue9_active && ! queue9_done; do sleep 60; done
+log "queue9 drained (markers done, or pid gone/never started)"
 
 run_job() { # name stale_s cmd... (watchdog pins AVMNIST_RUN_NAME=$name and
   # sets AVMNIST_RESUME_LAST, so a rebooted session continues the same run dir)
@@ -47,8 +55,12 @@ run_job() { # name stale_s cmd... (watchdog pins AVMNIST_RUN_NAME=$name and
   if [ $rc -eq 0 ]; then
     touch "$marker"
     rm -rf "runs/parity/scratch/$name"/ckpt_seed*/last
+    local data_dirs=""
+    for d in "runs/parity/data/$name" runs/parity/data/${name%_r3}_*; do
+      [ -e "$d" ] && data_dirs="$data_dirs $d"
+    done
     scripts/queue_commit.sh "Queue: $name complete (artifacts + done-marker)" \
-      "$marker" "runs/parity/scratch/$name" >> "$Q" 2>&1
+      "$marker" "runs/parity/scratch/$name" $data_dirs >> "$Q" 2>&1
   fi
   return $rc
 }

@@ -40,8 +40,12 @@ run_job() { # name stale_s cmd...
     # Rolling `last` is only for resuming an in-flight run — drop it once the
     # job is done (100 MB of dead weight per run); keep `best` for reevaluate.
     rm -rf "runs/parity/scratch/$name"/ckpt_seed*/last
+    local data_dirs=""
+    for d in "runs/parity/data/$name" runs/parity/data/${name%_r3}_*; do
+      [ -e "$d" ] && data_dirs="$data_dirs $d"
+    done
     scripts/queue_commit.sh "Queue: $name complete (artifacts + done-marker)" \
-      "$marker" "runs/parity/scratch/$name" >> "$Q" 2>&1
+      "$marker" "runs/parity/scratch/$name" $data_dirs >> "$Q" 2>&1
   fi
   return $rc
 }

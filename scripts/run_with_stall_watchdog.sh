@@ -45,6 +45,7 @@ for attempt in $(seq 1 6); do
       "$@" > "/tmp/run_${NAME}_a${attempt}.log" 2>&1 &
   PID=$!
   START=$(date +%s)
+  LAST_CKPT_COMMIT=$START
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     LATEST=$(find "$WATCH" -type f -printf '%T@\n' 2>/dev/null | sort -rn | head -1 | cut -d. -f1)
@@ -55,6 +56,22 @@ for attempt in $(seq 1 6); do
       kill "$PID" 2>/dev/null; sleep 5
       kill -9 "$PID" 2>/dev/null
       break
+    fi
+    # Durable MID-RUN resume state (advisor r4 #1): every ~20 min commit the
+    # run's finalized rolling `last` checkpoint + logs, so a session reboot
+    # (disk re-provisioned; only git survives) resumes the IN-FLIGHT run
+    # instead of restarting it. Finalize-marker check skips the save window;
+    # queue_commit.sh uses a private index + CAS, safe against the foreground.
+    # (20 min balances reboot exposure against repo growth: each commit adds
+    # the checkpoint's new orbax blobs to history.)
+    if [ $(( $(date +%s) - LAST_CKPT_COMMIT )) -ge 1200 ]; then
+      LAST_CKPT_COMMIT=$(date +%s)
+      for d in "$WATCH"/ckpt_seed*/last; do
+        [ -f "$d/_CHECKPOINT_METADATA" ] || continue
+        scripts/queue_commit.sh "Rolling checkpoint: $NAME (mid-run resume state)" \
+          "$d" "$WATCH"/logs* >> "$LOG" 2>&1 \
+          && say "committed mid-run resume state ($d)"
+      done
     fi
   done
   wait "$PID" 2>/dev/null; RC=$?

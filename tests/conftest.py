@@ -21,6 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 # embed LLVM tuning features the load-time check rejects on a DIFFERENT host
 # (sessions move between machines), so each host family gets its own namespace
 # (see __graft_entry__._host_keyed_cache_dir).
+import os.path as _osp  # noqa: E402
+import sys as _sys  # noqa: E402
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
 import __graft_entry__  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",

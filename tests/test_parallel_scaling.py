@@ -16,12 +16,9 @@ import jax
 import numpy as np
 import pytest
 
-from avmnist_tpu.parallel import create_mesh, replicate_state, shard_batch
+from avmnist_tpu.parallel import replicate_state, shard_batch
 
-
-@pytest.fixture(scope="module")
-def mesh8():
-    return create_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+# mesh8 fixture: session-scoped, from tests/conftest.py
 
 
 def _per_device_flops(objective, batch_arrays, mesh=None):
