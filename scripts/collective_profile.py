@@ -71,7 +71,7 @@ def collect(hlo_text: str):
     return ops
 
 
-def _measure_impl():
+def _measure_impl(global_batch: int = 128):
     import jax
     import numpy as np
 
@@ -82,14 +82,16 @@ def _measure_impl():
 
     n = 8
     mesh = create_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
-    # PRODUCTION config (bench.py's DINO row): collective payloads are param/
-    # feature sized, so this measures the real thing; batch 16 keeps the
-    # 1-core compile affordable and does not change collective bytes.
+    # PRODUCTION config (bench.py's DINO row). The GRADIENT all-reduce payload
+    # is parameter-sized (batch-independent), but the augment-boundary
+    # resharding collectives scale with per-device batch (advisor r4 #5), so
+    # the profile must be taken at a realistic per-device batch and bench.py
+    # scales it to its own batch via collective_bytes_batch_scaled.
     cfg = DinoConfig(model_name="multi_central")
     obj = make_dino_objective(cfg, mesh=mesh)
     state = replicate_state(obj.init_fn(jax.random.key(0)), mesh)
-    train, _ = make_synthetic_avmnist(n_train=16, n_test=8, seed=0)
-    batch = shard_batch(train.gather(np.arange(16)), mesh)
+    train, _ = make_synthetic_avmnist(n_train=global_batch, n_test=8, seed=0)
+    batch = shard_batch(train.gather(np.arange(global_batch)), mesh)
 
     step = obj.step_fn
     lowered = step.lower(state, batch, jax.random.key(1)) \
@@ -109,13 +111,15 @@ def _measure_impl():
     result = {
         "program": "DINO multi_central production step_fn, 8-device data mesh",
         "n_devices": n,
+        "global_batch": int(global_batch),
         "params_bytes": int(params_bytes),
         "collective_ops": len(ops),
         "collective_bytes_total": int(total),
         "collective_bytes_by_kind": by_kind,
         "ops": sorted(ops, key=lambda o: -o["bytes"])[:40],
         "model": ("ring all-reduce cost = 2*(N-1)/N * bytes / ici_bw per op "
-                  "(scaling-book); ICI assumptions live in bench.py"),
+                  "(scaling-book); ICI assumptions live in bench.py; "
+                  "batch-proportional share scales as bench_batch/global_batch"),
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)
@@ -134,9 +138,10 @@ def main():
 
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    __graft_entry__._host_keyed_cache_dir())
+    gb = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     code = ("import sys; sys.path.insert(0, %r); "
             "from scripts.collective_profile import _measure_impl; "
-            "_measure_impl()" % REPO)
+            "_measure_impl(%d)" % (REPO, gb))
     subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env, check=True)
 
 
