@@ -17,7 +17,12 @@ or view pipeline out of the loop. This is true device throughput; the production
 input pipeline overlaps host batch gather with device compute (data/datasets.py
 prefetch), so steady-state wall throughput matches it.
 
-Prints one JSON line per workload: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per workload: {"metric", "value", "unit", "vs_baseline"}
+plus, when XLA cost analysis is available: "tflops_per_sec", "mfu_pct",
+"hbm_roofline_pct" (clamped <=100; apparent bandwidth above the HBM peak means
+VMEM-fed traffic and is reported as "vmem_excess_x" instead), and for the DINO
+row "vs_baseline_v5e8_projected" + "collective_overhead_pct" from the measured
+8-device collective payload (docs/collective_profile.json).
 """
 from __future__ import annotations
 
