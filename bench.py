@@ -178,12 +178,24 @@ def _v5e8_projection(step_time: float, rate: float, baseline: float,
         prof = json.load(f)
     n = prof["n_devices"]
     by_kind = prof.get("collective_bytes_by_kind", {})
-    ar_bytes = by_kind.get("all-reduce", prof["collective_bytes_total"])
-    reshard_bytes = prof["collective_bytes_total"] - ar_bytes
-    scale = batch_size / prof.get("global_batch", batch_size)
-    coll_bytes = ar_bytes + reshard_bytes * scale
-    t_coll = (2 * (n - 1) / n) * coll_bytes / ICI_BW \
-        + prof["collective_ops"] * ICI_LATENCY_PER_OP
+    # Weak scaling: every chip keeps THIS bench's batch, so the projected
+    # GLOBAL batch is batch_size*n; the augment-boundary resharding kinds
+    # scale linearly with it (measured linear 16->512, PERF_NOTES round-4),
+    # the gradient all-reduce does not (byte-identical across batches).
+    scale = (batch_size * n) / prof.get("global_batch", batch_size * n)
+    # Per-kind ring/ICI cost factors (bytes -> wire traffic per device):
+    #   all-reduce 2(N-1)/N, all-gather/reduce-scatter/all-to-all (N-1)/N of
+    #   the op's (full) payload, collective-permute 1x its per-device payload.
+    factors = {"all-reduce": 2 * (n - 1) / n, "all-gather": (n - 1) / n,
+               "reduce-scatter": (n - 1) / n, "all-to-all": (n - 1) / n,
+               "collective-permute": 1.0}
+    batch_prop = {"all-gather", "all-to-all", "collective-permute"}
+    t_coll = prof["collective_ops"] * ICI_LATENCY_PER_OP
+    coll_bytes = 0.0
+    for kind, size in by_kind.items():
+        s = size * (scale if kind in batch_prop else 1.0)
+        coll_bytes += s
+        t_coll += factors.get(kind, 1.0) * s / ICI_BW
     projected_rate = n * rate / (1 + t_coll / step_time)
     return {
         "vs_baseline_v5e8_projected": round(projected_rate / baseline, 2),
