@@ -6,9 +6,11 @@ Compiles the PRODUCTION-config DINO multi_central training step over an
 8-device (data, model) mesh (virtual CPU devices — collective structure is a
 property of the SPMD partitioning, not of the backend) and extracts every
 collective operation from the optimized HLO: op kind, element type, byte
-count. Collective BYTES are batch-size independent for this program (gradient
-+ BN cross-replica + center psums ride on parameter/feature-sized tensors),
-which is what makes the projection robust.
+count. Only the gradient/BN/center all-reduce payload is batch-size
+independent (parameter-sized); any augment-boundary resharding collectives
+(all-gather/all-to-all/permute on view-shaped tensors) scale with per-device
+batch, so bench.py scales those kinds by bench_batch/profiled_batch when
+projecting (see _v5e8_projection's `batch_prop` set).
 
 Writes docs/collective_profile.json, which bench.py reads to report
 `vs_baseline_v5e8_projected` for the DINO row from a MEASURED collective
@@ -85,8 +87,8 @@ def _measure_impl(global_batch: int = 128):
     # PRODUCTION config (bench.py's DINO row). The GRADIENT all-reduce payload
     # is parameter-sized (batch-independent), but the augment-boundary
     # resharding collectives scale with per-device batch (advisor r4 #5), so
-    # the profile must be taken at a realistic per-device batch and bench.py
-    # scales it to its own batch via collective_bytes_batch_scaled.
+    # the profile must be taken at a realistic per-device batch; bench.py
+    # rescales the batch-proportional kinds to its own bench batch.
     cfg = DinoConfig(model_name="multi_central")
     obj = make_dino_objective(cfg, mesh=mesh)
     state = replicate_state(obj.init_fn(jax.random.key(0)), mesh)

@@ -31,7 +31,17 @@ for i in 1 2 3 4 5; do
   if git diff-index --cached --quiet "$BASE" --; then exit 0; fi
   TREE=$(git write-tree) || { sleep 7; continue; }
   NEW=$(git commit-tree "$TREE" -p "$BASE" -m "$MSG") || { sleep 7; continue; }
-  if git update-ref "$BRANCH" "$NEW" "$BASE" 2>/dev/null; then exit 0; fi
+  if git update-ref "$BRANCH" "$NEW" "$BASE" 2>/dev/null; then
+    # Sync the committed paths into the SHARED index too (ADVICE r4, medium):
+    # the foreground session's index is a snapshot of the pre-CAS tree, so a
+    # later plain `git add <other> && git commit` there would commit a tree
+    # WITHOUT these artifact paths — silently deleting them from the tip
+    # (this happened: 4fb4ea1 reverted f02f038's artifacts). `git add` takes
+    # .git/index.lock itself; retry briefly if the foreground holds it.
+    unset GIT_INDEX_FILE
+    for j in 1 2 3; do git add -f -- "$@" 2>/dev/null && break; sleep 3; done
+    exit 0
+  fi
   sleep $(( (RANDOM % 20) + 5 ))
 done
 echo "queue_commit: failed after 5 tries: $MSG" >&2

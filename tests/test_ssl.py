@@ -221,13 +221,18 @@ def test_multimodal_simclr_on_mesh(synthetic_arrays, mesh8):
     from avmnist_tpu.parallel import replicate_state, shard_batch
 
     train, _ = synthetic_arrays
-    obj = make_simclr_objective(SimCLRConfig(output_dim=16, projection_dim=8,
-                                             compute_dtype=jnp.float32))
+    cfg = SimCLRConfig(output_dim=16, projection_dim=8,
+                       compute_dtype=jnp.float32)
+    # ADVICE r4: the meshed objective must be built WITH mesh=mesh8 — that is
+    # the production configuration (run_ssl.py passes mesh), and it traces the
+    # anchor_data_sharding constraint that keeps the lowering partitioned.
+    obj = make_simclr_objective(cfg)              # single-device reference
+    obj_mesh = make_simclr_objective(cfg, mesh=mesh8)
     state = obj.init_fn(jax.random.key(0))
     batch = next(iter(Batches(train, batch_size=16, shuffle=False)))
     _, m_local = obj.step_fn(state, batch, jax.random.key(1))
-    _, m_mesh = obj.step_fn(replicate_state(state, mesh8),
-                            shard_batch(batch, mesh8), jax.random.key(1))
+    _, m_mesh = obj_mesh.step_fn(replicate_state(state, mesh8),
+                                 shard_batch(batch, mesh8), jax.random.key(1))
     np.testing.assert_allclose(float(m_local["train_loss"]),
                                float(m_mesh["train_loss"]), rtol=1e-4)
     assert float(m_local["mode"]) == float(m_mesh["mode"])
