@@ -60,6 +60,46 @@ def anchor_data_sharding(x, mesh):
         lambda a: jax.lax.with_sharding_constraint(a, sharding), x)
 
 
+def shard_map_augment(augment_fn, mesh):
+    """Run an augmentation bank under ``shard_map`` over the mesh's data axis,
+    so each device augments its LOCAL batch shard with purely local compute.
+
+    WHY THIS EXISTS: even with the folded views anchored onto the data axis
+    (anchor_data_sharding), GSPMD chooses to partition the augment region
+    SPATIALLY (over H/W) and must reshard to the batch sharding at the fold
+    boundary — measured at 1.24 GB/step of all-gather + all-to-all +
+    collective-permute on view tensors at global batch 8192 (~25 % of the
+    8-device DINO step, docs/collective_profile.json round 4). Under
+    shard_map the partitioner cannot make that choice: the bank is local by
+    construction and the resharding term is deleted entirely
+    (docs/PERF_NOTES.md round-5 section).
+
+    RNG SEMANTICS (docs/DEVIATIONS.md "Meshed augmentation RNG streams"):
+    each device folds its data-axis position into the step key, so parameter
+    draws under a mesh are a different (distributionally identical) stream
+    than the unmeshed batched draws. Meshed-vs-unmeshed exactness therefore
+    holds only for augment-free configs (``identity_augment``), which is what
+    the equivalence tests and the driver dryrun pin; full-augment equivalence
+    is distributional (tests/test_parallel_scaling.py).
+
+    ``augment_fn(images, audios, key) -> pytree of (B, ...) arrays``; the
+    global batch must divide the data-axis size (shard_batch guarantees it).
+    """
+    if mesh is None:
+        return augment_fn
+    from jax.sharding import PartitionSpec
+
+    data = PartitionSpec("data")
+
+    def local_fn(images, audios, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return augment_fn(images, audios, key)
+
+    return jax.shard_map(local_fn, mesh=mesh,
+                         in_specs=(data, data, PartitionSpec()),
+                         out_specs=data)
+
+
 def cast_tree(tree, dtype):
     return jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree

@@ -44,6 +44,7 @@ from avmnist_tpu.objectives.common import (
     normalize_audio,
     normalize_images,
     per_step_rng,
+    shard_map_augment,
 )
 from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
 from avmnist_tpu.train.state import TrainState
@@ -239,10 +240,27 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
         )
 
     ng, nl = cfg.n_global_views, cfg.n_local_views
+    # The augment bank runs under shard_map over the data axis when a mesh is
+    # given: each device augments its local shard, deleting the measured
+    # 1.24 GB/step fold-boundary resharding (see common.shard_map_augment).
+    aug_fn = shard_map_augment(augment, mesh)
 
-    def fold(views):  # (B, n, H, W, 1) -> (n*B, H, W, 1), view-major like torch.cat
+    def fold(views):
+        """(B, n, H, W, 1) -> (B*n, H, W, 1), BATCH-major.
+
+        Batch-major (sample 0's views, then sample 1's, ...) keeps the fold a
+        purely LOCAL reshape when the batch axis is sharded — the round-4
+        view-major fold (swapaxes + reshape, torch.cat order) interleaved the
+        sharded axis and forced an all-to-all at the fold boundary. The
+        (view, sample) pair SET is unchanged; only the dropout-mask assignment
+        ordering differs (distributional only — docs/DEVIATIONS.md)."""
         b, n = views.shape[:2]
-        return views.swapaxes(0, 1).reshape(n * b, *views.shape[2:])
+        return views.reshape(b * n, *views.shape[2:])
+
+    def unfold(folded, n):
+        """(B*n, P) batch-major -> (n, B, P) view-major for the loss math."""
+        b = folded.shape[0] // n
+        return folded.reshape(b, n, *folded.shape[1:]).swapaxes(0, 1)
 
     def apply_net(net, params, stats, images, audios, rng, train, method=None):
         variables = {"params": cast_tree(params, cfg.compute_dtype),
@@ -260,20 +278,19 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
         k_aug, k_s, k_t, k_h = jax.random.split(rng, 4)
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
-        # (Anchoring only the FOLDED views below is deliberate: an additional
-        # pre-fold anchor on gi/ga/li/la was measured to nearly TRIPLE the
-        # augment-boundary resharding traffic — 26 -> 74 MB/step at global
-        # batch 128 — because XLA then satisfies both constraints around its
-        # spatially-partitioned augment region.)
-        gi, ga, li, la = augment(images[..., 0], audios[..., 0], k_aug)
+        # Under a mesh the bank runs in shard_map (local per-device compute,
+        # zero fold-boundary resharding — common.shard_map_augment).
+        gi, ga, li, la = aug_fn(images[..., 0], audios[..., 0], k_aug)
         b = images.shape[0]
 
         # Student sees global + local; teacher global only — one forward each.
-        # anchor: re-shard the folded views over 'data' (see common.py — the
-        # augment region breaks GSPMD propagation; without this every device
-        # runs the FULL network replicated).
-        s_imgs = anchor_data_sharding(jnp.concatenate([fold(gi), fold(li)]), mesh)
-        s_auds = anchor_data_sharding(jnp.concatenate([fold(ga), fold(la)]), mesh)
+        # Views concatenate on the VIEW axis (unsharded) so the batch-major
+        # fold stays a local reshape under the data sharding: per sample the
+        # student view order is [g0..g_{ng-1}, l0..l_{nl-1}]. anchor: keep the
+        # folded views pinned to 'data' so GSPMD propagates batch parallelism
+        # into the network (common.py).
+        s_imgs = anchor_data_sharding(fold(jnp.concatenate([gi, li], axis=1)), mesh)
+        s_auds = anchor_data_sharding(fold(jnp.concatenate([ga, la], axis=1)), mesh)
         t_imgs = anchor_data_sharding(fold(gi), mesh)
         t_auds = anchor_data_sharding(fold(ga), mesh)
 
@@ -283,8 +300,9 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
             dino.py:679-706; running stats merged by mean across views)."""
             if not cfg.per_view_bn:
                 return apply_net(net_, params_, stats_, imgs_, auds_, key_, train=True)
-            imgs_v = imgs_.reshape(n_views, b, *imgs_.shape[1:])
-            auds_v = auds_.reshape(n_views, b, *auds_.shape[1:])
+            # batch-major fold -> view-major for the per-view vmap, and back
+            imgs_v = unfold(imgs_, n_views)
+            auds_v = unfold(auds_, n_views)
             keys = jax.random.split(key_, n_views)
 
             def one(im, au, kk):
@@ -292,8 +310,8 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
 
             (projs_v, feats_v), stats_v = jax.vmap(one)(imgs_v, auds_v, keys)
             merged = jax.tree.map(lambda x: x.mean(0), stats_v)
-            return (projs_v.reshape(n_views * b, -1),
-                    feats_v.reshape(n_views * b, -1)), merged
+            return (projs_v.swapaxes(0, 1).reshape(n_views * b, -1),
+                    feats_v.swapaxes(0, 1).reshape(n_views * b, -1)), merged
 
         # Teacher pass (outside grad; train-mode BN like the reference, whose teacher
         # modules stay in train() — SURVEY.md §7 hard-part 4).
@@ -302,7 +320,7 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
                                             t_imgs, t_auds, k_t, ng)
         t_projs = jax.lax.stop_gradient(t_projs)
         center = state.center if cfg.use_center else jnp.zeros_like(state.center)
-        t_centered = (t_projs - center).reshape(ng, b, -1)
+        t_centered = unfold(t_projs - center, ng)
         # Global-batch center update (psum over the data axis under sharding);
         # OLD center is applied above, then updated (dino.py:713-717).
         new_center = (state.center * cfg.center_momentum
@@ -312,7 +330,7 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
         def loss_fn(params):
             (s_projs, s_feats), new_stats = apply_views(
                 student, params, state.batch_stats, s_imgs, s_auds, k_s, ng + nl)
-            s_out = s_projs.reshape(ng + nl, b, -1)
+            s_out = unfold(s_projs, ng + nl)
             d_loss, t_probs = dino_loss_fn(
                 s_out, t_centered, cfg.student_temperature, cfg.teacher_temperature,
                 cfg.l2_normalize_before_softmax,
@@ -321,7 +339,7 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
             metrics = {"dino_loss": d_loss}
             loss = d_loss
             if unimodal and cfg.cosine_loss_alpha > 0:
-                c_loss = cosine_consistency_loss(s_feats.reshape(ng + nl, b, -1))
+                c_loss = cosine_consistency_loss(unfold(s_feats, ng + nl))
                 loss = loss + cfg.cosine_loss_alpha * c_loss
                 metrics["cosine_loss"] = c_loss
             if cfg.mode in ("mse", "infonce", "semi_supervised"):

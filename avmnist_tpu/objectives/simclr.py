@@ -31,6 +31,7 @@ from avmnist_tpu.objectives.common import (
     normalize_audio,
     normalize_images,
     per_step_rng,
+    shard_map_augment,
 )
 from avmnist_tpu.train.optim import cosine_epoch_schedule, torch_adam
 from avmnist_tpu.train.state import TrainState
@@ -139,6 +140,10 @@ class SimCLRConfig:
     audio_mean: float = 0.0
     audio_std: float = 1.0
     compute_dtype: Any = jnp.bfloat16
+    identity_augment: bool = False  # views = untransformed copies. Used by the
+    # meshed-vs-single EXACT equivalence checks (driver dryrun, mesh tests):
+    # under a mesh the bank runs in shard_map with per-device RNG streams, so
+    # full-augment equivalence is only distributional (docs/DEVIATIONS.md).
 
 
 def make_simclr_objective(cfg: SimCLRConfig, mesh=None) -> Objective:
@@ -148,7 +153,12 @@ def make_simclr_objective(cfg: SimCLRConfig, mesh=None) -> Objective:
     net = _SimCLRNet(output_dim=cfg.output_dim, projection_dim=cfg.projection_dim,
                      audio_only=cfg.audio_only,
                      audio_encoder_name=cfg.audio_encoder_name)
-    augment = SimCLRAugment.from_config(cfg.best_augments)
+    augment = (SimCLRAugment(image_ops=(), audio_ops=())
+               if cfg.identity_augment
+               else SimCLRAugment.from_config(cfg.best_augments))
+    # Under a mesh the bank runs in shard_map (local per-device compute, zero
+    # fold-boundary resharding — common.shard_map_augment).
+    aug_fn = shard_map_augment(augment, mesh)
     lr = (cosine_epoch_schedule(cfg.learning_rate, cfg.num_epochs, cfg.steps_per_epoch)
           if cfg.steps_per_epoch else cfg.learning_rate)
     tx = torch_adam(lr)
@@ -240,7 +250,7 @@ def make_simclr_objective(cfg: SimCLRConfig, mesh=None) -> Objective:
         images = normalize_images(batch["image"])
         audios = normalize_audio(batch["audio"], cfg.audio_mean, cfg.audio_std)
         img1, aud1, img2, aud2 = anchor_data_sharding(
-            augment(images[..., 0], audios[..., 0], k_aug), mesh)
+            aug_fn(images[..., 0], audios[..., 0], k_aug), mesh)
         operands = (state, img1, aud1, img2, aud2, k_net)
         if cfg.audio_only:
             mode = jnp.ones((), jnp.int32)

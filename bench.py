@@ -20,9 +20,10 @@ prefetch), so steady-state wall throughput matches it.
 Prints one JSON line per workload: {"metric", "value", "unit", "vs_baseline"}
 plus, when XLA cost analysis is available: "tflops_per_sec", "mfu_pct",
 "hbm_roofline_pct" (clamped <=100; apparent bandwidth above the HBM peak means
-VMEM-fed traffic and is reported as "vmem_excess_x" instead), and for the DINO
-row "vs_baseline_v5e8_projected" + "collective_overhead_pct" from the measured
-8-device collective payload (docs/collective_profile.json).
+VMEM-fed traffic and is reported as "vmem_excess_x" instead), and — for every
+row with a measured 8-device collective payload in
+docs/collective_profile.json (all eight since round 5) —
+"vs_baseline_v5e8_projected" + "collective_overhead_pct".
 """
 from __future__ import annotations
 
@@ -115,6 +116,11 @@ def measure(objective, batch, batch_size: int, n_steps: int = 20):
 
 
 def workloads():
+    """Yields (metric, unit, batch_size, baseline, build) for every reference
+    training workload. ``build(mesh=None)`` constructs the production
+    objective; the optional mesh threads into the factories that carry an
+    augment bank (DINO/SimCLR — shard_map'd local augmentation), so
+    scripts/collective_profile.py profiles the SAME programs bench measures."""
     from avmnist_tpu.objectives.autoencoder import (AutoencoderConfig,
                                                     make_autoencoder_objective)
     from avmnist_tpu.objectives.dino import DinoConfig, make_dino_objective
@@ -124,50 +130,58 @@ def workloads():
 
     yield ("audio_simclr_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
            BASE_AUDIO_SIMCLR,
-           lambda: make_simclr_objective(SimCLRConfig(
+           lambda mesh=None: make_simclr_objective(SimCLRConfig(
                audio_only=True, output_dim=256, projection_dim=128,
-               learning_rate=1e-4)))
+               learning_rate=1e-4), mesh=mesh))
     yield ("audio_simclr_mobilevit_pretrain_pairs_per_sec", "pairs/sec/chip", 512,
            BASE_SIMCLR_MOBILEVIT,
-           lambda: make_simclr_objective(SimCLRConfig(
+           lambda mesh=None: make_simclr_objective(SimCLRConfig(
                audio_only=True, audio_encoder_name="spectrogram_mobile_vit",
-               output_dim=256, projection_dim=128, learning_rate=1e-4)))
+               output_dim=256, projection_dim=128, learning_rate=1e-4),
+               mesh=mesh))
     yield ("multimodal_simclr_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
            BASE_MM_SIMCLR,
-           lambda: make_simclr_objective(SimCLRConfig(
+           lambda mesh=None: make_simclr_objective(SimCLRConfig(
                audio_only=False, output_dim=256, projection_dim=128,
-               learning_rate=1e-4)))
+               learning_rate=1e-4), mesh=mesh))
+    # InfoNCE/AE/CentralNet have no augment bank; GSPMD propagates their batch
+    # sharding cleanly (round-4 measurement: 7.56-7.98x per-device FLOP
+    # reduction unaffected), so their factories take no mesh.
     yield ("info_nce_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
            BASE_INFONCE,
-           lambda: make_infonce_objective(InfoNCEConfig()))
+           lambda mesh=None: make_infonce_objective(InfoNCEConfig()))
     yield ("autoencoder_pretrain_samples_per_sec", "samples/sec/chip", 512,
            BASE_AE,
-           lambda: make_autoencoder_objective(AutoencoderConfig(variant="plain")))
+           lambda mesh=None: make_autoencoder_objective(
+               AutoencoderConfig(variant="plain")))
     yield ("masked_autoencoder_pretrain_samples_per_sec", "samples/sec/chip", 512,
            BASE_MASKED_AE,
-           lambda: make_autoencoder_objective(AutoencoderConfig(variant="masked")))
+           lambda mesh=None: make_autoencoder_objective(
+               AutoencoderConfig(variant="masked")))
     yield ("centralnet_supervised_samples_per_sec", "samples/sec/chip", 1024,
            BASE_CENTRALNET,
-           lambda: make_centralnet_objective())
+           lambda mesh=None: make_centralnet_objective())
     # Batch 1024: the DINO step saturates device throughput at ~1k pairs
     # (round-3 profile: 9.1k/s @256, 10.0k @512, 10.2k @1024 — memory-bound,
     # docs/PERF_NOTES.md roofline section).
     yield ("dino_multi_central_pretrain_pairs_per_sec", "pairs/sec/chip", 1024,
            BASE_DINO,
-           lambda: make_dino_objective(DinoConfig(model_name="multi_central")))
+           lambda mesh=None: make_dino_objective(
+               DinoConfig(model_name="multi_central"), mesh=mesh))
 
 
-def _v5e8_projection(step_time: float, rate: float, baseline: float,
-                     batch_size: int):
-    """Projected v5e-8 multiple for the DINO row from the MEASURED collective
+def _v5e8_projection(metric: str, step_time: float, rate: float,
+                     baseline: float, batch_size: int):
+    """Projected v5e-8 multiple for a bench row from the MEASURED collective
     payload (docs/collective_profile.json; scripts/collective_profile.py
-    extracts every collective from the optimized 8-device SPMD HLO). Weak
-    scaling: each chip keeps THIS bench's batch, so the gradient all-reduce
-    payload is used as measured (parameter-sized, batch-independent) while the
-    augment-boundary resharding collectives (all-gather/all-to-all/permute on
-    view-shaped tensors) scale with per-device batch relative to the profiled
-    batch. Ring all-reduce model; assumptions (ICI_BW, ICI_LATENCY_PER_OP)
-    are module constants."""
+    extracts every collective from each workload's optimized 8-device SPMD
+    HLO — every row, not just DINO, since round 5). Weak scaling: each chip
+    keeps THIS bench's batch, so the gradient all-reduce payload is used as
+    measured (parameter-sized, batch-independent) while batch-shaped
+    collectives (all-gather/all-to-all/permute — contrastive-negatives
+    gathers scale with the global similarity matrix's rows) scale with
+    global batch relative to the profiled batch. Ring all-reduce model;
+    assumptions (ICI_BW, ICI_LATENCY_PER_OP) are module constants."""
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -175,8 +189,11 @@ def _v5e8_projection(step_time: float, rate: float, baseline: float,
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        prof = json.load(f)
-    n = prof["n_devices"]
+        doc = json.load(f)
+    prof = doc.get("workloads", {}).get(metric)
+    if prof is None:
+        return None
+    n = doc["n_devices"]
     by_kind = prof.get("collective_bytes_by_kind", {})
     # Weak scaling: every chip keeps THIS bench's batch, so the projected
     # GLOBAL batch is batch_size*n; the augment-boundary resharding kinds
@@ -229,10 +246,10 @@ def main():
                     min(100.0, 100.0 * apparent_bw / PEAK_HBM), 2)
                 if apparent_bw > PEAK_HBM:
                     row["vmem_excess_x"] = round(apparent_bw / PEAK_HBM, 2)
-            if metric.startswith("dino_"):
-                proj = _v5e8_projection(step_time, rate, baseline, batch_size)
-                if proj:
-                    row.update(proj)
+            proj = _v5e8_projection(metric, step_time, rate, baseline,
+                                    batch_size)
+            if proj:
+                row.update(proj)
             print(json.dumps(row), flush=True)
         except Exception as e:  # keep emitting the remaining workloads
             print(json.dumps({"metric": metric, "error": f"{type(e).__name__}: {e}"}),

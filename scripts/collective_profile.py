@@ -1,22 +1,29 @@
-"""Measure the multi-chip collective profile of the production DINO step
-(VERDICT r3 #5: put an ARTIFACT behind the v5e-8 projection instead of assumed
-arithmetic).
+"""Measure the multi-chip collective profile of every production bench
+workload (VERDICT r3 #5 / r4 #2: put an ARTIFACT behind each v5e-8 projection
+instead of assumed arithmetic).
 
-Compiles the PRODUCTION-config DINO multi_central training step over an
+Compiles each PRODUCTION-config training step from bench.workloads() over an
 8-device (data, model) mesh (virtual CPU devices — collective structure is a
 property of the SPMD partitioning, not of the backend) and extracts every
 collective operation from the optimized HLO: op kind, element type, byte
 count. Only the gradient/BN/center all-reduce payload is batch-size
-independent (parameter-sized); any augment-boundary resharding collectives
-(all-gather/all-to-all/permute on view-shaped tensors) scale with per-device
-batch, so bench.py scales those kinds by bench_batch/profiled_batch when
-projecting (see _v5e8_projection's `batch_prop` set).
+independent (parameter-sized); batch-shaped collectives — e.g. the
+contrastive-negatives all-gather of projection rows for the global NT-Xent /
+InfoNCE similarity matrix — scale with per-device batch, so bench.py scales
+those kinds by bench_batch/profiled_batch when projecting (see
+_v5e8_projection's `batch_prop` set).
 
-Writes docs/collective_profile.json, which bench.py reads to report
-`vs_baseline_v5e8_projected` for the DINO row from a MEASURED collective
-payload + documented ICI assumptions (scaling-book ring all-reduce model).
+Writes docs/collective_profile.json keyed by bench metric name; bench.py
+reads it to report `vs_baseline_v5e8_projected` + `collective_overhead_pct`
+on every row from a MEASURED collective payload + documented ICI assumptions
+(scaling-book ring all-reduce model).
 
-Usage:  python scripts/collective_profile.py  (re-runs the measurement)
+Caveat: the profile compiles the CPU lowering, where the pallas NT-Xent
+kernel is off — the XLA NT-Xent path all-gathers the same (2B, P) projection
+rows the TPU pallas path needs, so the collective structure matches.
+
+Usage:  python scripts/collective_profile.py [global_batch] [workload ...]
+        (default: batch 128, all workloads; partial runs merge into the file)
 """
 from __future__ import annotations
 
@@ -73,59 +80,79 @@ def collect(hlo_text: str):
     return ops
 
 
-def _measure_impl(global_batch: int = 128):
+def _profile_one(build, global_batch: int, mesh, train):
     import jax
     import numpy as np
 
-    jax.config.update("jax_platforms", "cpu")
-    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
-    from avmnist_tpu.objectives.dino import DinoConfig, make_dino_objective
-    from avmnist_tpu.parallel import create_mesh, replicate_state, shard_batch
+    from avmnist_tpu.parallel import replicate_state, shard_batch
 
-    n = 8
-    mesh = create_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
-    # PRODUCTION config (bench.py's DINO row). The GRADIENT all-reduce payload
-    # is parameter-sized (batch-independent), but the augment-boundary
-    # resharding collectives scale with per-device batch (advisor r4 #5), so
-    # the profile must be taken at a realistic per-device batch; bench.py
-    # rescales the batch-proportional kinds to its own bench batch.
-    cfg = DinoConfig(model_name="multi_central")
-    obj = make_dino_objective(cfg, mesh=mesh)
+    obj = build(mesh=mesh)
     state = replicate_state(obj.init_fn(jax.random.key(0)), mesh)
-    train, _ = make_synthetic_avmnist(n_train=global_batch, n_test=8, seed=0)
     batch = shard_batch(train.gather(np.arange(global_batch)), mesh)
-
     step = obj.step_fn
     lowered = step.lower(state, batch, jax.random.key(1)) \
         if hasattr(step, "lower") else jax.jit(step).lower(
             state, batch, jax.random.key(1))
     compiled = lowered.compile()
-    hlo = compiled.as_text()
-    ops = collect(hlo)
+    ops = collect(compiled.as_text())
 
     params_bytes = sum(np.asarray(x).nbytes
                        for x in jax.tree.leaves(jax.device_get(state.params)))
-    total = sum(o["bytes"] for o in ops)
     by_kind = {}
     for o in ops:
         by_kind[o["op"]] = by_kind.get(o["op"], 0) + o["bytes"]
-
-    result = {
-        "program": "DINO multi_central production step_fn, 8-device data mesh",
-        "n_devices": n,
+    return {
         "global_batch": int(global_batch),
         "params_bytes": int(params_bytes),
         "collective_ops": len(ops),
-        "collective_bytes_total": int(total),
+        "collective_bytes_total": int(sum(o["bytes"] for o in ops)),
         "collective_bytes_by_kind": by_kind,
-        "ops": sorted(ops, key=lambda o: -o["bytes"])[:40],
-        "model": ("ring all-reduce cost = 2*(N-1)/N * bytes / ici_bw per op "
-                  "(scaling-book); ICI assumptions live in bench.py; "
-                  "batch-proportional share scales as bench_batch/global_batch"),
+        "ops": sorted(ops, key=lambda o: -o["bytes"])[:12],
     }
-    with open(OUT, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps({k: v for k, v in result.items() if k != "ops"}, indent=1))
+
+
+def _measure_impl(global_batch: int = 128, only=()):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import bench
+    from avmnist_tpu.data.synthetic import make_synthetic_avmnist
+    from avmnist_tpu.parallel import create_mesh
+
+    n = 8
+    mesh = create_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
+    train, _ = make_synthetic_avmnist(n_train=max(global_batch, 16), n_test=8,
+                                      seed=0)
+    doc = {"n_devices": n, "workloads": {},
+           "model": ("ring all-reduce cost = 2*(N-1)/N * bytes / ici_bw per "
+                     "op (scaling-book); ICI assumptions live in bench.py; "
+                     "batch-shaped kinds (all-gather/all-to-all/permute) "
+                     "scale as bench_batch/global_batch")}
+    if os.path.exists(OUT):  # merge partial runs
+        try:
+            with open(OUT) as f:
+                old = json.load(f)
+            if old.get("n_devices") == n and "workloads" in old:
+                doc["workloads"].update(old["workloads"])
+        except Exception:
+            pass
+    for metric, unit, bs, baseline, build in bench.workloads():
+        if only and not any(s in metric for s in only):
+            continue
+        print(f"[collective_profile] compiling {metric} "
+              f"@ global batch {global_batch} over {n} devices", flush=True)
+        try:
+            doc["workloads"][metric] = _profile_one(build, global_batch, mesh,
+                                                    train)
+        except Exception as e:
+            print(f"[collective_profile] {metric} FAILED: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            continue
+        with open(OUT, "w") as f:
+            json.dump(doc, f, indent=1)
+    summary = {m: {k: v for k, v in p.items() if k != "ops"}
+               for m, p in doc["workloads"].items()}
+    print(json.dumps(summary, indent=1))
 
 
 def main():
@@ -140,10 +167,12 @@ def main():
 
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    __graft_entry__._host_keyed_cache_dir())
-    gb = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    args = sys.argv[1:]
+    gb = int(args[0]) if args and args[0].isdigit() else 128
+    only = tuple(a for a in args if not a.isdigit())
     code = ("import sys; sys.path.insert(0, %r); "
             "from scripts.collective_profile import _measure_impl; "
-            "_measure_impl(%d)" % (REPO, gb))
+            "_measure_impl(%d, %r)" % (REPO, gb, only))
     subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env, check=True)
 
 

@@ -1,10 +1,12 @@
 #!/bin/bash
 # Round-5 queue, leg 1 (VERDICT r4 "Next round" #5): dual-ViT at protocol
-# scale — canonical config, seeds {1,2,3} x 100 epochs in ONE invocation so
-# the summary carries mean +/- std at n=3 against the reference's headline
-# table (Step1.md:6-16: 65.28 +/- 0.12 / 61.00 +/- 0.07). Seed 1 re-runs
-# (~20 min) and doubles as a reproducibility check against the r4 single-seed
-# artifact (74.73 / 66.57, runs/parity/data/dualvit_canonical_100ep).
+# scale — canonical config, seeds {2,3} x 100 epochs (the actual evidence
+# gap; seed 1 at 100 ep is the committed r4 artifact 74.73/66.57,
+# runs/parity/data/dualvit_canonical_100ep). The combined n=3 row vs the
+# reference's headline table (Step1.md:6-16: 65.28 +/- 0.12 / 61.00 +/- 0.07)
+# is assembled in PARITY.md from both run dirs. NOT --seeds 1 2 3: dual-ViT
+# runs ~100 s/epoch (r4 metrics.csv), so 3 seeds x 100 ep ~ 8.4 h — past the
+# round budget; 2 seeds ~ 5.6 h fits.
 #
 # ADVICE r4 (low): checkpoints are DROPPED before the artifact commit — only
 # logs/CSVs/summaries go to git; `git add` paths are explicit so .gitignore
@@ -43,11 +45,11 @@ run_job() { # name stale_s cmd...
   return $rc
 }
 
-run_job dualvit_canonical_3seed_r5 1500 \
-  env AVMNIST_MAX_SCAN_STEPS=64 timeout 21000 \
+run_job dualvit_canonical_s23_r5 1800 \
+  env AVMNIST_MAX_SCAN_STEPS=64 timeout 25000 \
   python -u run_dino.py --model multi_dual_vit \
     --config configs/config_parity_synth_dualvit_canonical.yaml \
-    --metric mlp_acc --training_mode default --seeds 1 2 3 --epochs 100
+    --metric mlp_acc --training_mode default --seeds 2 3 --epochs 100
 
 log "queue-r5.1 complete"
 rm -f /tmp/r5_chain.pid

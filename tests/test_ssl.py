@@ -216,16 +216,22 @@ def test_multimodal_simclr_on_mesh(synthetic_arrays, mesh8):
     branches) over the data mesh: sharded NT-Xent loss == single-device loss on
     the same batch/rng (global negatives all-gathered over ICI). This is the
     mesh coverage the driver dryrun delegates here (__graft_entry__._dryrun_impl
-    runs the single-branch audio_only variant to fit the driver's clock)."""
+    runs the single-branch audio_only variant to fit the driver's clock).
+
+    identity_augment: under a mesh the augment bank runs in shard_map with
+    per-DEVICE RNG streams (docs/DEVIATIONS.md), so exact meshed-vs-single
+    equality holds only for the augment-free config; the full-augment meshed
+    step is separately checked to run partitioned and finite
+    (tests/test_parallel_scaling.py pins its collective structure)."""
     from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
     from avmnist_tpu.parallel import replicate_state, shard_batch
 
     train, _ = synthetic_arrays
     cfg = SimCLRConfig(output_dim=16, projection_dim=8,
-                       compute_dtype=jnp.float32)
+                       compute_dtype=jnp.float32, identity_augment=True)
     # ADVICE r4: the meshed objective must be built WITH mesh=mesh8 — that is
     # the production configuration (run_ssl.py passes mesh), and it traces the
-    # anchor_data_sharding constraint that keeps the lowering partitioned.
+    # shard_map/anchor path that keeps the lowering partitioned.
     obj = make_simclr_objective(cfg)              # single-device reference
     obj_mesh = make_simclr_objective(cfg, mesh=mesh8)
     state = obj.init_fn(jax.random.key(0))
