@@ -65,3 +65,30 @@ def replicate_state(state, mesh: Mesh):
     """Replicate a pytree (params / train state) across the mesh."""
     rep = replicated(mesh)
     return jax.device_put(state, rep)
+
+
+def shard_batch_local(local_batch, mesh: Mesh):
+    """Multi-host batch entry: every PROCESS passes its host-local rows (its
+    ``data.host_shard`` of the global batch) and gets back the global
+    batch-sharded ``jax.Array`` — assembled across hosts by
+    ``jax.make_array_from_process_local_data`` (DCN for cross-host pieces,
+    none needed when each host's rows land on its own devices, which is the
+    layout this produces). In a single-process run this is exactly
+    ``shard_batch``.
+
+    The global row ORDER is host-major (process 0's rows first) — a fixed
+    permutation of the logical batch. Every objective in this framework is
+    batch-row-permutation invariant as long as all modalities/labels share
+    the permutation (contrastive diagonals pair row i of each modality;
+    reductions are means over rows), which host_shard guarantees by slicing
+    every array of the batch with the same indices. Executable evidence:
+    tests/test_multihost.py simulates two 4-device hosts on the 8-virtual-
+    device CPU mesh and pins both the assembled layout and the
+    loss-equivalence against the single-host path."""
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return {
+        k: (jax.make_array_from_process_local_data(bs, np.asarray(v))
+            if np.ndim(v) > 0 else jax.device_put(v, rep))
+        for k, v in local_batch.items()
+    }
