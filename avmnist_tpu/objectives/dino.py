@@ -177,6 +177,16 @@ class DinoConfig:
     # dino.py:679-706). Default False normalizes over the folded [views*B] batch —
     # faster (one fused forward) but global+local crop statistics mix in BN.
     compute_dtype: Any = jnp.bfloat16
+    # Rematerialize the STUDENT forward in the backward pass (jax.checkpoint,
+    # save-nothing policy). The step is HBM-bandwidth-bound (60 % of nominal
+    # roofline, docs/PERF_NOTES.md): the backward otherwise re-reads the
+    # stored 112x112 stem activations of 6 view-forwards from HBM, while
+    # recompute costs MXU FLOPs the step has to spare (8.4 % MFU). Numerics
+    # are identical up to float reassociation (the checkpoint barrier moves
+    # XLA fusion boundaries, so BN-mean reduction order shifts — measured
+    # ~5e-5 rel on the step loss in f32; tests pin rtol 1e-3).
+    # Teacher/hybrid passes take no remat (no gradient flows through them).
+    remat_student: bool = False
     # reference-faithful switches (SURVEY.md §7 hard-part 5)
     l2_normalize_before_softmax: bool = True
     unimodal_double_centering: bool = True
@@ -262,15 +272,22 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
         b = folded.shape[0] // n
         return folded.reshape(b, n, *folded.shape[1:]).swapaxes(0, 1)
 
-    def apply_net(net, params, stats, images, audios, rng, train, method=None):
-        variables = {"params": cast_tree(params, cfg.compute_dtype),
-                     "batch_stats": cast_tree(stats, cfg.compute_dtype)}
-        args = (images.astype(cfg.compute_dtype), audios.astype(cfg.compute_dtype))
-        out, upd = net.apply(variables, *args, train=train,
-                             rngs={"dropout": rng}, mutable=["batch_stats"],
-                             method=method)
-        return (jax.tree.map(lambda x: x.astype(jnp.float32), out),
-                cast_tree(upd["batch_stats"], jnp.float32))
+    def apply_net(net, params, stats, images, audios, rng, train, method=None,
+                  remat=False):
+        def run(params_, stats_, images_, audios_, rng_):
+            variables = {"params": cast_tree(params_, cfg.compute_dtype),
+                         "batch_stats": cast_tree(stats_, cfg.compute_dtype)}
+            args = (images_.astype(cfg.compute_dtype),
+                    audios_.astype(cfg.compute_dtype))
+            out, upd = net.apply(variables, *args, train=train,
+                                 rngs={"dropout": rng_}, mutable=["batch_stats"],
+                                 method=method)
+            return (jax.tree.map(lambda x: x.astype(jnp.float32), out),
+                    cast_tree(upd["batch_stats"], jnp.float32))
+
+        if remat:
+            run = jax.checkpoint(run)
+        return run(params, stats, images, audios, rng)
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
@@ -294,19 +311,22 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
         t_imgs = anchor_data_sharding(fold(gi), mesh)
         t_auds = anchor_data_sharding(fold(ga), mesh)
 
-        def apply_views(net_, params_, stats_, imgs_, auds_, key_, n_views):
+        def apply_views(net_, params_, stats_, imgs_, auds_, key_, n_views,
+                        remat=False):
             """Forward over folded views; with per_view_bn, vmap per view so BN batch
             statistics are computed per view (exact reference semantics,
             dino.py:679-706; running stats merged by mean across views)."""
             if not cfg.per_view_bn:
-                return apply_net(net_, params_, stats_, imgs_, auds_, key_, train=True)
+                return apply_net(net_, params_, stats_, imgs_, auds_, key_,
+                                 train=True, remat=remat)
             # batch-major fold -> view-major for the per-view vmap, and back
             imgs_v = unfold(imgs_, n_views)
             auds_v = unfold(auds_, n_views)
             keys = jax.random.split(key_, n_views)
 
             def one(im, au, kk):
-                return apply_net(net_, params_, stats_, im, au, kk, train=True)
+                return apply_net(net_, params_, stats_, im, au, kk, train=True,
+                                 remat=remat)
 
             (projs_v, feats_v), stats_v = jax.vmap(one)(imgs_v, auds_v, keys)
             merged = jax.tree.map(lambda x: x.mean(0), stats_v)
@@ -329,7 +349,8 @@ def make_dino_objective(cfg: DinoConfig, mesh=None) -> Objective:
 
         def loss_fn(params):
             (s_projs, s_feats), new_stats = apply_views(
-                student, params, state.batch_stats, s_imgs, s_auds, k_s, ng + nl)
+                student, params, state.batch_stats, s_imgs, s_auds, k_s, ng + nl,
+                remat=cfg.remat_student)
             s_out = unfold(s_projs, ng + nl)
             d_loss, t_probs = dino_loss_fn(
                 s_out, t_centered, cfg.student_temperature, cfg.teacher_temperature,

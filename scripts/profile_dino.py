@@ -80,6 +80,13 @@ def main():
                          iters=iters)
         noaug = scan_time(make_runner(noaug_obj), state, batch,
                           jax.random.key(1), iters=iters)
+        # remat A/B (round 5): student-forward rematerialization trades HBM
+        # activation traffic for MXU recompute — the candidate lever for the
+        # 60 % -> 100 % roofline gap.
+        remat_obj = make_dino_objective(
+            DinoConfig(model_name=args.model, remat_student=True))
+        remat = scan_time(make_runner(remat_obj), state, batch,
+                          jax.random.key(1), iters=iters)
 
         # per-bank augmentation cost (keys differ per iteration -> no hoisting)
         images = jax.device_put(np.asarray(
@@ -111,9 +118,11 @@ def main():
         rec = {"model": args.model, "batch": bs,
                "full_ms": round(full * 1e3, 2),
                "noaug_ms": round(noaug * 1e3, 2),
+               "remat_ms": round(remat * 1e3, 2),
                "augment_in_situ_ms": round((full - noaug) * 1e3, 2),
                "banks_ms": banks,
-               "pairs_per_sec": round(bs / full, 1)}
+               "pairs_per_sec": round(bs / full, 1),
+               "pairs_per_sec_remat": round(bs / remat, 1)}
         print(json.dumps(rec), flush=True)
 
         if args.detail:

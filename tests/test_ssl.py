@@ -210,6 +210,30 @@ def test_dino_per_view_bn(synthetic_arrays):
     assert losses[False] != losses[True]  # different BN statistics
 
 
+def test_dino_remat_student_equivalent(synthetic_arrays):
+    """remat_student=True (jax.checkpoint on the student forward) must match
+    the non-remat step up to float reassociation — the checkpoint barrier
+    shifts XLA fusion boundaries, so BN-mean reduction order differs at the
+    ~5e-5 rel level in f32; anything beyond rtol 1e-3 means remat changed
+    semantics, not just scheduling."""
+    import jax.numpy as jnp
+
+    train, _ = synthetic_arrays
+    base = dict(model_name="multi_central", projection_dim=8, output_dim=16,
+                encoder_output_dim=16, n_global_views=2, n_local_views=2,
+                compute_dtype=jnp.float32)
+    batch = next(iter(Batches(train, batch_size=8, shuffle=False)))
+    got = {}
+    for remat in (False, True):
+        obj = make_dino_objective(DinoConfig(remat_student=remat, **base))
+        state = obj.init_fn(jax.random.key(0))
+        state, m1 = obj.step_fn(state, batch, jax.random.key(1))
+        _, m2 = obj.step_fn(state, batch, jax.random.key(1))
+        got[remat] = (float(m1["train_loss"]), float(m1["grad_norm"]),
+                      float(m2["train_loss"]))
+    np.testing.assert_allclose(got[False], got[True], rtol=1e-3)
+
+
 @pytest.mark.slow
 def test_multimodal_simclr_on_mesh(synthetic_arrays, mesh8):
     """The 4-branch multimodal SimCLR step (lax.switch over whole fwd+bwd+Adam
