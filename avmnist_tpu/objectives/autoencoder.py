@@ -39,6 +39,10 @@ class AutoencoderConfig:
     audio_mean: float = 0.0
     audio_std: float = 1.0
     compute_dtype: Any = jnp.bfloat16
+    # jax.checkpoint on the forward (HBM-bound step: trade stored-activation
+    # traffic for MXU recompute; identical up to float reassociation — see
+    # DinoConfig.remat_student). Default off until measured on the chip.
+    remat: bool = False
 
 
 def make_autoencoder_objective(cfg: AutoencoderConfig) -> Objective:
@@ -73,12 +77,19 @@ def make_autoencoder_objective(cfg: AutoencoderConfig) -> Objective:
             model_in = x
             loss_mask = jnp.ones_like(x)
 
-        def loss_fn(params):
+        def fwd(params, model_in_):
             variables = {"params": cast_tree(params, cfg.compute_dtype),
                          "batch_stats": cast_tree(state.batch_stats, cfg.compute_dtype)}
             (recon, latent), upd = model.apply(
-                variables, model_in.astype(cfg.compute_dtype), train=True,
+                variables, model_in_.astype(cfg.compute_dtype), train=True,
                 rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            return recon, upd
+
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            recon, upd = fwd(params, model_in)
             recon = recon.astype(jnp.float32)
             loss = jnp.mean((recon * loss_mask - x * loss_mask) ** 2)
             return loss, cast_tree(upd["batch_stats"], jnp.float32)

@@ -140,6 +140,11 @@ class SimCLRConfig:
     audio_mean: float = 0.0
     audio_std: float = 1.0
     compute_dtype: Any = jnp.bfloat16
+    # jax.checkpoint on each encoder+head forward (HBM-bound step: trade
+    # stored-activation traffic for MXU recompute; identical up to float
+    # reassociation — see DinoConfig.remat_student). Default off until
+    # measured on the chip.
+    remat: bool = False
     identity_augment: bool = False  # views = untransformed copies. Used by the
     # meshed-vs-single EXACT equivalence checks (driver dryrun, mesh tests):
     # under a mesh the bank runs in shard_map with per-device RNG streams, so
@@ -176,12 +181,19 @@ def make_simclr_objective(cfg: SimCLRConfig, mesh=None) -> Objective:
 
     def _embed(params, stats, rng, x, image: bool, train=True):
         method = "embed_image" if image else "embed_audio"
-        variables = {"params": cast_tree(params, cfg.compute_dtype),
-                     "batch_stats": cast_tree(stats, cfg.compute_dtype)}
-        z, upd = net.apply(variables, x.astype(cfg.compute_dtype), train=train,
-                           rngs={"dropout": rng}, mutable=["batch_stats"],
-                           method=method)
-        return z.astype(jnp.float32), cast_tree(upd["batch_stats"], jnp.float32)
+
+        def run(params_, stats_, rng_, x_):
+            variables = {"params": cast_tree(params_, cfg.compute_dtype),
+                         "batch_stats": cast_tree(stats_, cfg.compute_dtype)}
+            z, upd = net.apply(variables, x_.astype(cfg.compute_dtype),
+                               train=train, rngs={"dropout": rng_},
+                               mutable=["batch_stats"], method=method)
+            return (z.astype(jnp.float32),
+                    cast_tree(upd["batch_stats"], jnp.float32))
+
+        if cfg.remat and train:
+            run = jax.checkpoint(run)
+        return run(params, stats, rng, x)
 
     def _torch_branch_semantics() -> bool:
         """Ablation toggle (docs/DEVIATIONS.md "Training-dynamics notes"):

@@ -234,6 +234,34 @@ def test_dino_remat_student_equivalent(synthetic_arrays):
     np.testing.assert_allclose(got[False], got[True], rtol=1e-3)
 
 
+def test_simclr_and_autoencoder_remat_equivalent(synthetic_arrays):
+    """Same float-reassociation-only contract for the SimCLR and autoencoder
+    remat flags."""
+    import jax.numpy as jnp
+
+    from avmnist_tpu.objectives.autoencoder import (AutoencoderConfig,
+                                                    make_autoencoder_objective)
+    from avmnist_tpu.objectives.simclr import SimCLRConfig, make_simclr_objective
+
+    train, _ = synthetic_arrays
+    batch = next(iter(Batches(train, batch_size=8, shuffle=False)))
+    for build in (
+            lambda r: make_simclr_objective(SimCLRConfig(
+                output_dim=16, projection_dim=8, audio_only=True, remat=r,
+                compute_dtype=jnp.float32)),
+            lambda r: make_autoencoder_objective(AutoencoderConfig(
+                variant="masked", output_dim=16, remat=r,
+                compute_dtype=jnp.float32))):
+        got = {}
+        for remat in (False, True):
+            obj = build(remat)
+            state = obj.init_fn(jax.random.key(0))
+            state, m1 = obj.step_fn(state, batch, jax.random.key(1))
+            _, m2 = obj.step_fn(state, batch, jax.random.key(1))
+            got[remat] = (float(m1["train_loss"]), float(m2["train_loss"]))
+        np.testing.assert_allclose(got[False], got[True], rtol=1e-3)
+
+
 @pytest.mark.slow
 def test_multimodal_simclr_on_mesh(synthetic_arrays, mesh8):
     """The 4-branch multimodal SimCLR step (lax.switch over whole fwd+bwd+Adam
