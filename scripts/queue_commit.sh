@@ -16,8 +16,12 @@ set -u
 cd /root/repo
 MSG=$1; shift
 BRANCH=$(git symbolic-ref -q HEAD) || { echo "queue_commit: detached HEAD" >&2; exit 1; }
-export GIT_INDEX_FILE=/tmp/queue_git_index_$$
-trap 'rm -f "$GIT_INDEX_FILE"' EXIT
+# Separate var for the trap: the shared-index sync below `unset`s
+# GIT_INDEX_FILE, and under `set -u` a trap referencing the unset name dies
+# with "unbound variable" (seen in watchdog logs) instead of cleaning up.
+QUEUE_IDX=/tmp/queue_git_index_$$
+export GIT_INDEX_FILE=$QUEUE_IDX
+trap 'rm -f "$QUEUE_IDX"' EXIT
 for i in 1 2 3 4 5; do
   BASE=$(git rev-parse "$BRANCH") || { sleep 7; continue; }
   git read-tree "$BASE" 2>/dev/null || { sleep 7; continue; }
