@@ -133,6 +133,9 @@ def workloads():
            lambda mesh=None: make_simclr_objective(SimCLRConfig(
                audio_only=True, output_dim=256, projection_dim=128,
                learning_rate=1e-4), mesh=mesh))
+    # Batch 512: round-5 sweep at bench conditions (20-step scans) measured
+    # 512 fastest (41.3k vs 40.3k at 1024); zero fixed-overhead term — the
+    # row is small-op/VMEM-issue-bound, not dispatch (bottleneck_sweep.py).
     yield ("audio_simclr_mobilevit_pretrain_pairs_per_sec", "pairs/sec/chip", 512,
            BASE_SIMCLR_MOBILEVIT,
            lambda mesh=None: make_simclr_objective(SimCLRConfig(
@@ -154,7 +157,9 @@ def workloads():
            BASE_AE,
            lambda mesh=None: make_autoencoder_objective(
                AutoencoderConfig(variant="plain")))
-    yield ("masked_autoencoder_pretrain_samples_per_sec", "samples/sec/chip", 512,
+    # Batch 1024: measured fastest at bench conditions (20-step scans:
+    # 83.1k vs 81.7k samples/s at 512, scripts/bottleneck_sweep.py round 5).
+    yield ("masked_autoencoder_pretrain_samples_per_sec", "samples/sec/chip", 1024,
            BASE_MASKED_AE,
            lambda mesh=None: make_autoencoder_objective(
                AutoencoderConfig(variant="masked")))
