@@ -61,6 +61,23 @@ PEAK_HBM = 819e9  # v5e HBM bytes/s — roofline denominator for memory-bound st
 # the excess explicitly as vmem_excess_x (apparent/peak) so "at the wall"
 # (pct ~100, excess absent) and "VMEM-fed" (excess > 1) are distinguishable.
 
+# Binding resource per row, from the round-5 chip measurements
+# (docs/PERF_NOTES.md "Round 5 chip phase"): bottleneck_sweep.py fixed/
+# marginal fits + remat A/B. "hbm" = at/near the relay's achievable HBM
+# envelope (remat A/B showed traffic is not reducible); "vmem-issue" =
+# apparent bandwidth above HBM peak, working sets fusion-resident, bound by
+# small-op issue throughput, no fixed-overhead term.
+BINDING_RESOURCE = {
+    "audio_simclr_pretrain_pairs_per_sec": "hbm",
+    "audio_simclr_mobilevit_pretrain_pairs_per_sec": "vmem-issue",
+    "multimodal_simclr_pretrain_pairs_per_sec": "vmem-issue",
+    "info_nce_pretrain_pairs_per_sec": "hbm",
+    "autoencoder_pretrain_samples_per_sec": "hbm",
+    "masked_autoencoder_pretrain_samples_per_sec": "vmem-issue",
+    "centralnet_supervised_samples_per_sec": "hbm",
+    "dino_multi_central_pretrain_pairs_per_sec": "hbm",
+}
+
 # v5e-8 projection assumptions for the DINO row (scaling-book ring all-reduce:
 # t = 2*(N-1)/N * bytes/ici_bw per op), applied to the MEASURED collective
 # payload in docs/collective_profile.json (scripts/collective_profile.py).
@@ -251,6 +268,8 @@ def main():
                     min(100.0, 100.0 * apparent_bw / PEAK_HBM), 2)
                 if apparent_bw > PEAK_HBM:
                     row["vmem_excess_x"] = round(apparent_bw / PEAK_HBM, 2)
+            if metric in BINDING_RESOURCE:
+                row["binding_resource"] = BINDING_RESOURCE[metric]
             proj = _v5e8_projection(metric, step_time, rate, baseline,
                                     batch_size)
             if proj:
